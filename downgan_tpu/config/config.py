@@ -1,0 +1,219 @@
+"""Configuration for downgan_tpu.
+
+Capability parity with the reference's two hand-edited config modules
+(``DoWnGAN/config/config.py:8-116`` and ``DoWnGAN/config/hyperparams.py:15-43``),
+re-designed as frozen dataclasses so configs are explicit values that flow
+through the program instead of import-time module globals. Everything the
+reference exposes is here: data paths, region registry, covariate ordering,
+time range, mask years, and the full training hyperparameter set — plus the
+TPU-specific knobs the reference has no equivalent for (mesh shape, dtype
+policy, drop-last batch semantics).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RegionBox:
+    """A region's bounding box in *coarse-grid* indices.
+
+    Multiplied by ``scale_factor`` to index the fine grid, mirroring the
+    region registry at reference ``config/config.py:111-116``.
+    """
+
+    lat_min: int
+    lat_max: int
+    lon_min: int
+    lon_max: int
+
+    def coarse_slices(self) -> Tuple[slice, slice]:
+        return slice(self.lat_min, self.lat_max), slice(self.lon_min, self.lon_max)
+
+    def fine_slices(self, scale_factor: int) -> Tuple[slice, slice]:
+        return (
+            slice(self.lat_min * scale_factor, self.lat_max * scale_factor),
+            slice(self.lon_min * scale_factor, self.lon_max * scale_factor),
+        )
+
+
+# Region registry (reference config/config.py:111-116).
+REGIONS: Dict[str, RegionBox] = {
+    "florida": RegionBox(4, 20, 70, 86),
+    "central": RegionBox(30, 46, 50, 66),
+    "central_larger": RegionBox(9, 47, 29, 67),
+    "west": RegionBox(30, 46, 15, 31),
+}
+
+# Attribute-name standardization map (reference config/config.py:71-79).
+NON_STANDARD_ATTRIBUTES: Dict[str, str] = {
+    "latitude": "lat",
+    "longitude": "lon",
+    "Times": "time",
+    "Time": "time",
+    "times": "time",
+    "U10": "u10",
+    "V10": "v10",
+}
+
+# Covariate channel order (reference config/config.py:94-103).
+COVARIATE_NAMES_ORDERED: Dict[str, str] = {
+    "u10": "u10",
+    "v10": "v10",
+    "land_sea_mask": "lsm",
+    "surface_pressure": "sp",
+    "surface_roughness": "sr",
+    "geopotential": "z",
+    "cape": "cape",
+}
+
+FINE_NAMES_ORDERED: Dict[str, str] = {"u10": "u10", "v10": "v10"}
+
+
+def wrf_period(start: datetime, end: datetime, step_hours: int = 6) -> List[datetime]:
+    """Enumerate the 6-hourly WRF period [start, end).
+
+    Same semantics as reference ``helpers/wrf_times.py:7-15``.
+    """
+    total_hours = int((end - start).total_seconds() // 3600)
+    n = total_hours // step_hours
+    return [start + timedelta(hours=i * step_hours) for i in range(n)]
+
+
+@dataclass(frozen=True)
+class HyperParams:
+    """Training hyperparameters (reference config/hyperparams.py:15-35).
+
+    ``double_gp_lambda`` replicates a reference quirk: gp_lambda is applied
+    both where the penalty is formed (wasserstein.py:117) and where it is
+    added to the critic loss (wasserstein.py:40), so the effective penalty
+    weight is gp_lambda**2 (=100). Parity mode keeps it; set False for the
+    textbook WGAN-GP weighting.
+    """
+
+    gp_lambda: float = 10.0
+    critic_iterations: int = 5
+    batch_size: int = 32
+    gamma: float = 0.01
+    content_lambda: float = 5.0
+    ncomp: int = 75
+    lr: float = 2.5e-4
+    beta1: float = 0.9
+    beta2: float = 0.99
+    epochs: int = 1000
+    print_every: int = 250
+    save_every: int = 250
+
+    # Frequency-separation variant (reference hyperparams.py:28-33 +
+    # wasserstein_fs.py): critic sees only the high-pass residual of an
+    # avg-pool low-pass filter; content loss applies to the low-pass part.
+    freq_sep: bool = False
+    filter_size: int = 5
+
+    # Reference-quirk & semantics flags (new; the reference hard-codes these
+    # behaviors implicitly).
+    double_gp_lambda: bool = True
+    drop_last: bool = True  # keep static batch shapes under jit
+
+    # TPU-native knobs (no reference equivalent).
+    compute_dtype: str = "float32"  # "bfloat16" for the fast path
+    fused_epoch: bool = True  # lax.scan over the epoch's steps
+
+    @property
+    def effective_gp_weight(self) -> float:
+        return self.gp_lambda * self.gp_lambda if self.double_gp_lambda else self.gp_lambda
+
+    # Metric registry parity (reference hyperparams.py:38-43). Names map to
+    # metric fns resolved in downgan_tpu.ops.metrics.
+    metrics_to_calculate: Tuple[str, ...] = ("MAE", "MSE", "MSSSIM", "Wass")
+
+
+@dataclass(frozen=True)
+class Config:
+    """Experiment configuration (reference config/config.py)."""
+
+    # Data paths (reference config/config.py:8-20). Dict of variable ->
+    # glob/path for the fine fields; dict of covariate -> path.
+    fine_paths: Dict[str, str] = field(default_factory=dict)
+    covariate_paths: Dict[str, str] = field(default_factory=dict)
+    proc_data_dir: str = "proc_data"
+    experiment_dir: str = "experiments"
+    experiment_tag: str = "downgan-tpu"
+    already_preprocessed: bool = True
+
+    region: str = "florida"
+    scale_factor: int = 8
+    ref_coarse: str = "u10"
+    invariant_fields: Tuple[str, ...] = ("land_sea_mask", "geopotential")
+    mask_years: Tuple[int, ...] = (2000, 2006, 2010)
+
+    # WRF time slice (reference config/config.py:44-48): one extra 6-h step
+    # before the actual 2000-10-01T00 start due to a WRF peculiarity.
+    start_time: datetime = datetime(2000, 9, 30, 18, 0)
+    end_time: datetime = datetime(2013, 9, 30, 18, 0)
+
+    chunk_size: int = 150
+
+    # Network shape parameters (derived from data by staging; defaults are
+    # the florida workload: 16x16x7 coarse -> 128x128x2 fine).
+    coarse_size: int = 16
+    fine_size: int = 128
+    n_covariates: int = 7
+    n_predictands: int = 2
+    filters: int = 16
+    num_res_blocks: int = 16
+
+    hp: HyperParams = field(default_factory=HyperParams)
+
+    # Mesh / parallelism (no reference equivalent; reference is 1 GPU).
+    mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    seed: int = 0
+
+    @property
+    def region_box(self) -> RegionBox:
+        return REGIONS[self.region]
+
+    @property
+    def num_upsample(self) -> int:
+        n = self.fine_size // self.coarse_size
+        k = n.bit_length() - 1
+        if (1 << k) != n:
+            raise ValueError(f"fine/coarse ratio {n} must be a power of two")
+        return k
+
+    @property
+    def range_datetimes(self) -> List[datetime]:
+        return wrf_period(self.start_time, self.end_time)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        def default(o: Any) -> Any:
+            if isinstance(o, datetime):
+                return o.isoformat()
+            if dataclasses.is_dataclass(o):
+                return dataclasses.asdict(o)
+            return str(o)
+
+        return json.dumps(dataclasses.asdict(self), default=default, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+        hp_raw = raw.pop("hp", {})
+        for k in ("start_time", "end_time"):
+            if k in raw and isinstance(raw[k], str):
+                raw[k] = datetime.fromisoformat(raw[k])
+        for key in ("invariant_fields", "mask_years", "mesh_shape", "mesh_axes"):
+            if key in raw and isinstance(raw[key], list):
+                raw[key] = tuple(raw[key])
+        if "metrics_to_calculate" in hp_raw and isinstance(hp_raw["metrics_to_calculate"], list):
+            hp_raw["metrics_to_calculate"] = tuple(hp_raw["metrics_to_calculate"])
+        return Config(hp=HyperParams(**hp_raw), **raw)

@@ -1,0 +1,114 @@
+"""Shared layer utilities for downgan_tpu models.
+
+All models run in NHWC — the native TPU convolution layout — with fp32
+parameters and a configurable compute dtype (bf16 fast path). Initializers
+reproduce the torch Conv2d/Linear defaults (Kaiming-uniform with a=sqrt(5),
+which reduces to U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for both weight and
+bias) so that training dynamics are statistically comparable to the
+reference networks (``DoWnGAN/networks/generator.py``, ``critic.py``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_conv_kernel_init(dtype: Dtype = jnp.float32) -> Callable:
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) over HWIO kernels (torch default)."""
+
+    def init(key: jax.Array, shape: Sequence[int], _dtype: Dtype = dtype) -> jax.Array:
+        kh, kw, cin, _ = shape
+        bound = 1.0 / jnp.sqrt(kh * kw * cin)
+        return jax.random.uniform(key, shape, _dtype, -bound, bound)
+
+    return init
+
+
+def torch_conv_bias_init(fan_in: int, dtype: Dtype = jnp.float32) -> Callable:
+    def init(key: jax.Array, shape: Sequence[int], _dtype: Dtype = dtype) -> jax.Array:
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, _dtype, -bound, bound)
+
+    return init
+
+
+def torch_dense_kernel_init(dtype: Dtype = jnp.float32) -> Callable:
+    def init(key: jax.Array, shape: Sequence[int], _dtype: Dtype = dtype) -> jax.Array:
+        fan_in = shape[0]
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, _dtype, -bound, bound)
+
+    return init
+
+
+class Conv3x3(nn.Module):
+    """3x3 convolution with torch-parity explicit padding and init.
+
+    Torch's Conv2d(stride=2, padding=1) pads (1,1) on both sides and floors;
+    XLA's 'SAME' would pad (0,1) for even inputs, sampling different pixels.
+    Explicit ((1,1),(1,1)) padding keeps the two numerically identical.
+    """
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(9 * cin),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return y
+
+
+def leaky_relu(x: jax.Array, negative_slope: float) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def pixel_shuffle(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Depth-to-space with torch ``nn.PixelShuffle`` channel ordering.
+
+    NHWC input (B, H, W, C*r*r) -> (B, H*r, W*r, C), where channel index
+    c*r*r + i*r + j scatters to output (h*r+i, w*r+j, c) — matching torch
+    semantics (used at reference ``networks/generator.py:72``) so ported
+    weights are bit-compatible. Pure reshape/transpose: XLA lowers this to
+    a layout change fused with the surrounding convs.
+    """
+    b, h, w, c = x.shape
+    r = factor
+    cout = c // (r * r)
+    x = x.reshape(b, h, w, cout, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, cout
+    return x.reshape(b, h * r, w * r, cout)
+
+
+def space_to_depth(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Inverse of :func:`pixel_shuffle` (same channel ordering)."""
+    b, h, w, c = x.shape
+    r = factor
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, h', w', c, i, j
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+def nchw_to_nhwc(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 3, 1, 2))

@@ -1,0 +1,79 @@
+"""GAN training state: both networks' params, both Adam states, step counter.
+
+Re-designed from the reference's scattered mutable state (two torch
+``nn.Module``s + two ``torch.optim.Adam`` objects + a Python ``num_steps``
+counter, ``DoWnGAN/GAN/stage.py:59-64`` and ``wasserstein.py:24``) into a
+single immutable pytree that a pure jitted train step threads through — so
+the whole of training state checkpoints atomically (an upgrade over the
+reference, which persists weights only and cannot resume: SURVEY §5).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from downgan_tpu.config.config import Config
+from downgan_tpu.models.critic import Critic
+from downgan_tpu.models.generator import Generator
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array  # int32 scalar; parity with wasserstein.py:24 num_steps
+    g_params: Any
+    c_params: Any
+    g_opt_state: Any
+    c_opt_state: Any
+
+    def replace_params(self, g_params: Any = None, c_params: Any = None) -> "GANTrainState":
+        return self.replace(
+            g_params=self.g_params if g_params is None else g_params,
+            c_params=self.c_params if c_params is None else c_params,
+        )
+
+
+def make_models(config: Config) -> Tuple[Generator, Critic]:
+    dtype = jnp.bfloat16 if config.hp.compute_dtype == "bfloat16" else jnp.float32
+    gen = Generator(
+        filters=config.filters,
+        n_predictands=config.n_predictands,
+        num_res_blocks=config.num_res_blocks,
+        num_upsample=config.num_upsample,
+        dtype=dtype,
+    )
+    critic = Critic(base=config.filters, fine_size=config.fine_size, dtype=dtype)
+    return gen, critic
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """Adam(lr=2.5e-4, betas=(0.9, 0.99)) — reference stage.py:63-64.
+
+    torch Adam and optax.adam share the same update rule (eps outside the
+    sqrt bias correction differs only at eps-scale; both use 1e-8).
+    """
+    hp = config.hp
+    return optax.adam(hp.lr, b1=hp.beta1, b2=hp.beta2, eps=1e-8)
+
+
+def create_state(config: Config, rng: jax.Array) -> GANTrainState:
+    gen, critic = make_models(config)
+    g_rng, c_rng = jax.random.split(rng)
+    coarse_shape = (1, config.coarse_size, config.coarse_size, config.n_covariates)
+    fine_shape = (1, config.fine_size, config.fine_size, config.n_predictands)
+    g_params = gen.init(g_rng, jnp.zeros(coarse_shape, jnp.float32))
+    c_params = critic.init(c_rng, jnp.zeros(fine_shape, jnp.float32))
+    tx = make_optimizer(config)
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        c_params=c_params,
+        g_opt_state=tx.init(g_params),
+        c_opt_state=tx.init(c_params),
+    )
+
+
+def param_count(params: Any) -> int:
+    return sum(int(jnp.size(x)) for x in jax.tree.leaves(params))

@@ -1,0 +1,183 @@
+"""Train-step tests: GP correctness against an analytic critic, update
+schedule parity (G updates at steps 0, 5, 10, ... — wasserstein.py:136),
+state threading, loss finiteness, and a smoke test that training reduces
+content loss on a toy task. (The reference has no trainer tests; SURVEY §4
+calls for exactly these.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from downgan_tpu.config.config import Config, HyperParams
+from downgan_tpu.training.state import create_state, make_models
+from downgan_tpu.training.wgan import (
+    build_epoch_scan,
+    build_eval_metrics,
+    build_train_step,
+    gradient_penalty,
+)
+
+
+def small_config(**hp_kw) -> Config:
+    hp = HyperParams(batch_size=4, critic_iterations=5, **hp_kw)
+    return Config(
+        coarse_size=16,
+        fine_size=128,
+        n_covariates=7,
+        n_predictands=2,
+        filters=8,
+        num_res_blocks=1,
+        hp=hp,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = small_config()
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(42)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 2))
+    return config, gen, critic, state, rng, coarse, fine
+
+
+def test_gradient_penalty_analytic():
+    """For C(x) = 2*sum(x): grad wrt input = 2 everywhere, per-sample norm
+    = 2*sqrt(P), so GP = (2*sqrt(P) - 1)^2 regardless of alpha."""
+    def critic_apply(params, x):
+        return params * jnp.sum(x.reshape(x.shape[0], -1), axis=1, keepdims=True)
+
+    b, h, w, c = 3, 4, 4, 2
+    p = h * w * c
+    real = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c))
+    fake = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, c))
+    alpha = jax.random.uniform(jax.random.PRNGKey(2), (b, 1, 1, 1))
+    gp = gradient_penalty(critic_apply, jnp.float32(2.0), real, fake, alpha)
+    expected = (2.0 * np.sqrt(p) - 1.0) ** 2
+    assert float(gp) == pytest.approx(expected, rel=1e-5)
+
+
+def test_gradient_penalty_differentiable_in_params():
+    """The GP term must carry second-order gradient signal into the critic
+    params (the double-backward at wasserstein.py:100-117)."""
+    def critic_apply(params, x):
+        return params * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=1, keepdims=True)
+
+    real = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1))
+    fake = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 1))
+    alpha = jnp.full((2, 1, 1, 1), 0.5)
+    g = jax.grad(
+        lambda p: gradient_penalty(critic_apply, p, real, fake, alpha)
+    )(jnp.float32(1.5))
+    assert np.isfinite(float(g))
+    assert abs(float(g)) > 0
+
+
+def test_step_increments_and_updates(setup):
+    config, gen, critic, state, rng, coarse, fine = setup
+    step_fn = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+    new_state, metrics = step_fn(state, coarse, fine, rng)
+    assert int(new_state.step) == 1
+    # Critic always updates.
+    c_diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.c_params), jax.tree.leaves(new_state.c_params))
+    )
+    assert c_diff > 0
+    # Generator updates at step 0 (num_steps % 5 == 0 before increment).
+    g_diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(new_state.g_params))
+    )
+    assert g_diff > 0
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert np.isfinite(float(metrics["Wass"]))
+
+
+def test_generator_update_schedule(setup):
+    """G must update exactly at steps where step % critic_iterations == 0:
+    steps 0 and 5 out of 0..5."""
+    config, gen, critic, state, rng, coarse, fine = setup
+    step_fn = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+
+    def g_sum(s):
+        return sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(s.g_params))
+
+    updated_at = []
+    s = state
+    for i in range(6):
+        before = g_sum(s)
+        s, _ = step_fn(s, coarse, fine, rng)
+        if g_sum(s) != before:
+            updated_at.append(i)
+    assert updated_at == [0, 5]
+
+
+def test_metrics_registry(setup):
+    config, gen, critic, state, rng, coarse, fine = setup
+    step_fn = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    _, metrics = step_fn(state, coarse, fine, rng)
+    for key in ("MAE", "MSE", "MSSSIM", "Wass"):
+        assert key in metrics
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_eval_metrics(setup):
+    config, gen, critic, state, _, coarse, fine = setup
+    eval_fn = jax.jit(build_eval_metrics(config, gen, critic))
+    metrics = eval_fn(state, coarse, fine)
+    assert set(metrics) == {"MAE", "MSE", "MSSSIM", "Wass"}
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_epoch_scan_runs_and_counts_steps(setup):
+    config, gen, critic, state, rng, _, _ = setup
+    n, b = 12, 4
+    coarse_all = jax.random.normal(jax.random.PRNGKey(5), (n, 16, 16, 7))
+    fine_all = jax.random.normal(jax.random.PRNGKey(6), (n, 128, 128, 2))
+    perm = jnp.arange(n).reshape(n // b, b)
+    epoch_fn = jax.jit(build_epoch_scan(config, gen, critic, with_metrics=False))
+    new_state, stacked = epoch_fn(state, coarse_all, fine_all, perm, rng)
+    assert int(new_state.step) == n // b
+    assert stacked["critic_loss"].shape == (n // b,)
+    assert bool(jnp.all(jnp.isfinite(stacked["critic_loss"])))
+
+
+def test_freq_sep_step_runs(setup):
+    config, *_ = setup
+    config = config.replace(hp=HyperParams(batch_size=4, freq_sep=True))
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 2))
+    step_fn = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+    new_state, metrics = step_fn(state, coarse, fine, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_training_reduces_content_loss():
+    """Toy learnability: with adversarial weight ~0, a few G updates on a
+    fixed batch must reduce L1 toward a fixed target."""
+    hp = HyperParams(batch_size=2, critic_iterations=1, gamma=0.0, lr=1e-3)
+    config = Config(
+        coarse_size=8, fine_size=16, n_covariates=3, n_predictands=2,
+        filters=8, num_res_blocks=1, hp=hp,
+    )
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 2)) * 0.1
+    step_fn = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+
+    def l1(s):
+        return float(jnp.mean(jnp.abs(gen.apply(s.g_params, coarse) - fine)))
+
+    before = l1(state)
+    s = state
+    for _ in range(30):
+        s, _ = step_fn(s, coarse, fine, jax.random.PRNGKey(9))
+    after = l1(s)
+    assert after < before
