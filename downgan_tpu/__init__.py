@@ -15,3 +15,7 @@ train step and ``downgan_tpu.parallel.mesh`` for the device-mesh story.
 __version__ = "0.1.0"
 
 from downgan_tpu.config.config import Config, HyperParams, RegionBox, REGIONS  # noqa: F401
+from downgan_tpu.training.trainer import Trainer  # noqa: F401
+from downgan_tpu.tracking import TrackingStore, define_experiment  # noqa: F401
+from downgan_tpu.utils.checkpoint import CheckpointManager  # noqa: F401
+from downgan_tpu.inference import generate_fields, restore_generator_params, write_generated_netcdf  # noqa: F401

@@ -1,0 +1,202 @@
+"""``python -m downgan_tpu.cli`` — the unified CLI.
+
+The reference drives training by editing two config modules and running
+``python DoWnGAN/GAN/train.py`` (``README.md``), with separate click CLIs
+for prep (``helpers/covariates.py:31-41``) and inference
+(``helpers/gen_fake_ds.py:24-35``). Here everything hangs off one group
+with a config-file + flag-override model (configs are values, not
+editable modules).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import click
+
+from downgan_tpu.config.config import Config, HyperParams, REGIONS
+
+
+def _load_config(config_path: Optional[str], region: Optional[str], **hp_overrides) -> Config:
+    if config_path:
+        with open(config_path) as f:
+            config = Config.from_json(f.read())
+    else:
+        config = Config()
+    if region:
+        config = config.replace(region=region)
+    hp_overrides = {k: v for k, v in hp_overrides.items() if v is not None}
+    if hp_overrides:
+        import dataclasses
+
+        config = config.replace(hp=dataclasses.replace(config.hp, **hp_overrides))
+    return config
+
+
+@click.group()
+def cli() -> None:
+    """downgan-tpu: TPU-native WGAN-GP super-resolution downscaling."""
+
+
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None,
+              help="JSON config file (Config.to_json format).")
+@click.option("--region", type=click.Choice(list(REGIONS)), default=None)
+@click.option("--epochs", type=int, default=None)
+@click.option("--batch-size", type=int, default=None)
+@click.option("--lr", type=float, default=None)
+@click.option("--compute-dtype", type=click.Choice(["float32", "bfloat16"]), default=None)
+@click.option("--synthetic", is_flag=True, help="Train on the synthetic dataset "
+              "(no NetCDF data needed; test/benchmark mode).")
+@click.option("--samples", type=int, default=512, help="Synthetic sample count.")
+@click.option("--experiment", default="downgan-tpu", help="Experiment name.")
+@click.option("--run-name", default=None)
+@click.option("--tracking-root", default="experiments")
+@click.option("--checkpoint-dir", default=None, help="Orbax checkpoint directory "
+              "(default: <run artifact dir>/checkpoints).")
+@click.option("--resume", is_flag=True, help="Resume from the latest checkpoint.")
+@click.option("--interactive", is_flag=True,
+              help="Interactive experiment picker + run description (reference parity).")
+@click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
+@click.option("--save-every", type=int, default=1)
+@click.option("--plot-every", type=int, default=1)
+def train(config_path, region, epochs, batch_size, lr, compute_dtype, synthetic,
+          samples, experiment, run_name, tracking_root, checkpoint_dir, resume,
+          interactive, mesh, save_every, plot_every) -> None:
+    """Train the WGAN-GP super-resolution model."""
+    import jax
+
+    from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
+    from downgan_tpu.data.staging import stage_datasets
+    from downgan_tpu.tracking import TrackingStore, define_experiment, log_hyperparams, write_tags
+    from downgan_tpu.training.trainer import Trainer
+    from downgan_tpu.utils.checkpoint import CheckpointManager
+
+    config = _load_config(
+        config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
+        compute_dtype=compute_dtype,
+    )
+
+    if synthetic:
+        coarse, fine = synthetic_dataset(
+            n_samples=samples, coarse_size=config.coarse_size,
+            fine_size=config.fine_size, n_covariates=config.n_covariates,
+            n_predictands=config.n_predictands, seed=config.seed,
+        )
+        split = int(0.9 * samples)
+        train_ds = DeviceDataset.from_numpy(coarse[:split], fine[:split])
+        test_ds = DeviceDataset.from_numpy(coarse[split:], fine[split:])
+    else:
+        train_ds, test_ds = stage_datasets(config)
+
+    store = TrackingStore(tracking_root)
+    exp_id = define_experiment(store, name=experiment, interactive=interactive,
+                               tag=config.experiment_tag)
+    run = store.create_run(exp_id, run_name=run_name).start()
+    log_hyperparams(run, config)
+    write_tags(run, interactive=interactive)
+    with open(run.artifact_path("config.json"), "w") as f:
+        f.write(config.to_json())
+
+    ckpt_dir = checkpoint_dir or os.path.join(run.artifact_dir, "checkpoints")
+    ckpt = CheckpointManager(ckpt_dir)
+
+    mesh_obj = None
+    if mesh and len(jax.devices()) > 1:
+        from downgan_tpu.parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh()
+
+    trainer = Trainer(
+        config, train_ds, test_ds, run=run, checkpoint_manager=ckpt,
+        mesh=mesh_obj, save_every=save_every, plot_every=plot_every,
+    )
+    if resume:
+        trainer.maybe_resume()
+    try:
+        trainer.train()
+        run.end("FINISHED")
+    except BaseException:
+        run.end("FAILED")
+        raise
+    finally:
+        ckpt.close()
+    click.echo(f"run {run.run_id} finished; artifacts in {run.artifact_dir}")
+
+
+@cli.command("prepare-data")
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--region", "-r", type=click.Choice(list(REGIONS)), default=None)
+def prepare_data(config_path, region) -> None:
+    """Run the preprocessing pipeline and write the 4 train/test NetCDFs
+    (parity with helpers/gen_train_test_netcdfs.py)."""
+    from downgan_tpu.data.staging import generate_train_test_coarse_fine, write_preprocessed
+
+    config = _load_config(config_path, region)
+    arrays = generate_train_test_coarse_fine(config)
+    paths = write_preprocessed(config, *arrays)
+    for p in paths:
+        click.echo(p)
+
+
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--region", "-r", type=click.Choice(list(REGIONS)), default=None)
+@click.option("--checkpoint", "-c", required=True, help="Checkpoint directory.")
+@click.option("--epoch", "-e", type=int, default=None, help="Checkpoint step (default latest).")
+@click.option("--weights-only", is_flag=True, help="Checkpoint holds bare generator params.")
+@click.option("--out", "-o", default="generated.nc")
+@click.option("--synthetic", is_flag=True, help="Generate from synthetic covariates.")
+@click.option("--samples", type=int, default=100)
+def generate(config_path, region, checkpoint, epoch, weights_only, out, synthetic, samples) -> None:
+    """Generate super-resolved fields from a trained checkpoint and write
+    them to NetCDF (parity with helpers/gen_fake_ds.py)."""
+    from downgan_tpu.data.staging import load_preprocessed
+    from downgan_tpu.inference import (
+        generate_fields,
+        restore_generator_params,
+        write_generated_netcdf,
+    )
+
+    config = _load_config(config_path, region)
+    if synthetic:
+        from downgan_tpu.data.dataset import synthetic_dataset
+
+        coarse, _ = synthetic_dataset(
+            n_samples=samples, coarse_size=config.coarse_size,
+            fine_size=config.fine_size, n_covariates=config.n_covariates,
+            n_predictands=config.n_predictands, seed=config.seed,
+        )
+    else:
+        coarse, _, _, _ = load_preprocessed(config)
+
+    g_params = restore_generator_params(config, checkpoint, step=epoch,
+                                        weights_only=weights_only)
+    fields = generate_fields(config, g_params, coarse)
+    write_generated_netcdf(out, fields, var_names=("u10", "v10"))
+    click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
+
+
+@cli.command("serve-tracking")
+@click.option("--root", default="experiments")
+@click.option("--host", default="0.0.0.0")
+@click.option("-p", "--port", type=int, default=5555)
+def serve_tracking(root, host, port) -> None:
+    """Serve the tracking UI (parity with mlflow_tools/mlflow_server_cmd.py)."""
+    from downgan_tpu.tracking.server import serve
+
+    server = serve(root, host, port)
+    click.echo(f"tracking UI on http://{host}:{port} (store: {root})")
+    server.serve_forever()
+
+
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+def show_config(config_path) -> None:
+    """Print the resolved configuration as JSON."""
+    click.echo(_load_config(config_path, None).to_json())
+
+
+if __name__ == "__main__":
+    cli()

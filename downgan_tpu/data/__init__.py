@@ -8,3 +8,25 @@ from downgan_tpu.data.pipeline import (  # noqa: F401
     train_test_split,
     concat_variables,
 )
+from downgan_tpu.data.eof import (  # noqa: F401
+    EOFBasis,
+    fit_eofs,
+    fit_eofs_per_channel,
+    low_pass_eof_batch,
+    project,
+    reconstruct,
+)
+from downgan_tpu.data.regrid import (  # noqa: F401
+    TARGET_GRIDS,
+    LonLatGrid,
+    coarsen_block_mean,
+    find_nearest_index,
+    nearest_indices,
+    remap_nearest,
+)
+from downgan_tpu.data.staging import (  # noqa: F401
+    generate_train_test_coarse_fine,
+    load_preprocessed,
+    stage_datasets,
+    write_preprocessed,
+)

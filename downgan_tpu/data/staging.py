@@ -1,0 +1,184 @@
+"""Dataset staging: raw NetCDF -> preprocessed train/test -> device arrays.
+
+Capability parity with the reference's staging path: the xarray/dask
+pipeline driver ``generate_train_test_coarse_fine``
+(``DoWnGAN/helpers/gen_experiment_datasets.py:236-268``), the
+preprocessed-NetCDF writer (``helpers/gen_train_test_netcdfs.py:13-26``),
+the ``load_preprocessed`` fast path (``gen_experiment_datasets.py:271-277``)
+and the import-time device staging of ``GAN/stage.py:17-31`` — re-designed
+as explicit functions over the h5py NetCDF layer (no dask cluster needed:
+reads are one pass and the arrays then live in HBM).
+"""
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from downgan_tpu.config.config import (
+    COVARIATE_NAMES_ORDERED,
+    FINE_NAMES_ORDERED,
+    NON_STANDARD_ATTRIBUTES,
+    Config,
+)
+from downgan_tpu.data.dataset import DeviceDataset
+from downgan_tpu.data.netcdf import NetCDFFile, write_netcdf
+from downgan_tpu.data.pipeline import (
+    crop_array,
+    extend_along_time,
+    standardize_all,
+    to_nhwc,
+    train_test_split,
+)
+from downgan_tpu.data.times import wrf_to_dt
+
+
+def _read_var_multifile(path_or_glob: str, var: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read a variable (and its time coord if present) across a glob of
+    NetCDF files, concatenated along time (the reference's
+    ``open_mfdataset``, ``gen_experiment_datasets.py:79-84``)."""
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+    chunks: List[np.ndarray] = []
+    times: List[np.ndarray] = []
+    for p in paths:
+        with NetCDFFile(p) as f:
+            names = {NON_STANDARD_ATTRIBUTES.get(n, n): n for n in f.variable_names}
+            coord_names = {NON_STANDARD_ATTRIBUTES.get(n, n): n for n in f.coordinate_names}
+            real = names.get(var, var)
+            arr = f.variable(real).data
+            chunks.append(np.asarray(arr))
+            if "time" in coord_names:
+                times.append(np.asarray(f.coord(coord_names["time"])))
+    data = np.concatenate(chunks, axis=0) if chunks[0].ndim == 3 else np.stack(chunks)
+    t = np.concatenate(times) if times else None
+    return data, t
+
+
+def load_fine(config: Config) -> Tuple[Dict[str, np.ndarray], Optional[np.ndarray]]:
+    """Load + crop the fine-resolution predictands (reference
+    ``load_fine``, ``gen_experiment_datasets.py:60-98``). Returns
+    name->(time, lat, lon) dict and the decoded time axis."""
+    out: Dict[str, np.ndarray] = {}
+    times = None
+    for std_name in FINE_NAMES_ORDERED:
+        path = config.fine_paths[std_name]
+        arr, t = _read_var_multifile(path, std_name)
+        out[std_name] = crop_array(arr, config, config.scale_factor)
+        if t is not None and times is None:
+            times = t
+    if times is not None and times.dtype.kind == "f":
+        times = wrf_to_dt(times)
+    return out, times
+
+
+def load_covariates(config: Config, n_times: int) -> Dict[str, np.ndarray]:
+    """Load + crop coarse covariates; broadcast invariant fields along time
+    (reference ``load_covariates``, ``gen_experiment_datasets.py:115-151``)."""
+    out: Dict[str, np.ndarray] = {}
+    for std_name in COVARIATE_NAMES_ORDERED:
+        path = config.covariate_paths[std_name]
+        arr, _ = _read_var_multifile(path, std_name)
+        if std_name in config.invariant_fields or arr.ndim == 2:
+            if arr.ndim == 2:
+                arr = arr[None]
+            arr = extend_along_time(arr, n_times)
+        arr = crop_array(np.asarray(arr), config, 1)
+        out[std_name] = arr
+    return out
+
+
+def generate_train_test_coarse_fine(
+    config: Config,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full pipeline: load -> standardize -> stack -> year split.
+
+    Returns (coarse_train, fine_train, coarse_test, fine_test) as NHWC
+    float32 arrays (reference returns (time, var, lat, lon) xr Datasets,
+    ``gen_experiment_datasets.py:236-268`` — NHWC is the TPU-native layout).
+    """
+    fine_vars, times = load_fine(config)
+    n_times = next(iter(fine_vars.values())).shape[0]
+    if times is None:
+        times = np.asarray(config.range_datetimes[:n_times])
+    cov_vars = load_covariates(config, n_times)
+
+    fine_std, _ = standardize_all(fine_vars, skip=())
+    cov_std, _ = standardize_all(cov_vars)
+
+    fine = np.stack([fine_std[k] for k in FINE_NAMES_ORDERED], axis=1)
+    coarse = np.stack([cov_std[k] for k in COVARIATE_NAMES_ORDERED], axis=1)
+
+    ct, ft, cv, fv = train_test_split(coarse, fine, times[:n_times], config.mask_years)
+    return (
+        to_nhwc(ct).astype(np.float32),
+        to_nhwc(ft).astype(np.float32),
+        to_nhwc(cv).astype(np.float32),
+        to_nhwc(fv).astype(np.float32),
+    )
+
+
+# -- preprocessed file round trip -------------------------------------------
+
+def preprocessed_path(config: Config, kind: str, split: str) -> str:
+    """``<proc_data_dir>/<kind>_<split>_<region>.nc`` (reference layout,
+    ``gen_train_test_netcdfs.py:20-26``)."""
+    return os.path.join(config.proc_data_dir, f"{kind}_{split}_{config.region}.nc")
+
+
+def write_preprocessed(
+    config: Config,
+    coarse_train: np.ndarray,
+    fine_train: np.ndarray,
+    coarse_test: np.ndarray,
+    fine_test: np.ndarray,
+) -> List[str]:
+    """Write the 4 preprocessed NetCDFs (NHWC stored as (time, var, lat, lon)
+    for on-disk parity with the reference's concat layout)."""
+    os.makedirs(config.proc_data_dir, exist_ok=True)
+    paths = []
+    arrays = {
+        ("coarse", "train"): coarse_train,
+        ("fine", "train"): fine_train,
+        ("coarse", "test"): coarse_test,
+        ("fine", "test"): fine_test,
+    }
+    for (kind, split), arr in arrays.items():
+        path = preprocessed_path(config, kind, split)
+        tvhw = np.ascontiguousarray(np.transpose(arr, (0, 3, 1, 2)))
+        names = list(COVARIATE_NAMES_ORDERED if kind == "coarse" else FINE_NAMES_ORDERED)
+        write_netcdf(
+            path,
+            variables={"data": tvhw},
+            dims={"data": ("time", "var", "lat", "lon")},
+            coords={"time": np.arange(tvhw.shape[0], dtype=np.float64)},
+            attrs={"data": {"variables": ",".join(names)}},
+            chunks={"data": (min(64, tvhw.shape[0]), tvhw.shape[1], tvhw.shape[2], tvhw.shape[3])},
+        )
+        paths.append(path)
+    return paths
+
+
+def load_preprocessed(config: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read the 4 preprocessed NetCDFs back as NHWC float32 (reference
+    ``load_preprocessed``, ``gen_experiment_datasets.py:271-277``)."""
+    out = []
+    for kind, split in (("coarse", "train"), ("fine", "train"), ("coarse", "test"), ("fine", "test")):
+        with NetCDFFile(preprocessed_path(config, kind, split)) as f:
+            out.append(to_nhwc(np.asarray(f.variable("data").data)).astype(np.float32))
+    return tuple(out)  # type: ignore[return-value]
+
+
+def stage_datasets(
+    config: Config, sharding=None
+) -> Tuple[DeviceDataset, DeviceDataset]:
+    """Device staging (reference ``GAN/stage.py:17-31``): preprocessed (or
+    freshly generated) arrays -> HBM-resident DeviceDatasets."""
+    if config.already_preprocessed:
+        ct, ft, cv, fv = load_preprocessed(config)
+    else:
+        ct, ft, cv, fv = generate_train_test_coarse_fine(config)
+    train = DeviceDataset.from_numpy(ct, ft, sharding=sharding)
+    test = DeviceDataset.from_numpy(cv, fv, sharding=sharding)
+    return train, test

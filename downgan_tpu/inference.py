@@ -1,0 +1,103 @@
+"""Super-resolution field generation from a trained checkpoint.
+
+Capability parity with the reference inference CLI
+(``DoWnGAN/helpers/gen_fake_ds.py:35-186``): restore a trained generator,
+run the coarse covariate stack through it in chunks, and write the
+generated fine fields to a NetCDF file. TPU-native re-design: one jitted
+generator forward reused across fixed-size chunks (static shapes — the
+last partial chunk is padded and trimmed instead of recompiling), device
+transfers batched per chunk, fp32 output.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from downgan_tpu.config.config import Config
+from downgan_tpu.data.netcdf import write_netcdf
+from downgan_tpu.training.state import make_models
+from downgan_tpu.utils.checkpoint import CheckpointManager, load_params
+
+
+def restore_generator_params(
+    config: Config,
+    checkpoint_dir: str,
+    step: Optional[int] = None,
+    weights_only: bool = False,
+):
+    """Load generator params from an Orbax checkpoint.
+
+    ``weights_only=True`` reads a bare params checkpoint (the analogue of
+    the reference's per-epoch ``log_state_dict`` artifact,
+    ``mlflow_tools/mlflow_epoch.py:65-69``); otherwise the full-train-state
+    layout written by the Trainer is used (``gen_fake_ds.py:152-154``
+    equivalent, but with optimizer state available too).
+    """
+    gen, _ = make_models(config)
+    template = gen.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, config.coarse_size, config.coarse_size, config.n_covariates)),
+    )
+    if weights_only:
+        return load_params(checkpoint_dir, template)
+    from downgan_tpu.training.state import create_state
+
+    mngr = CheckpointManager(checkpoint_dir)
+    state = mngr.restore(create_state(config, jax.random.PRNGKey(0)), step=step)
+    mngr.close()
+    return state.g_params
+
+
+def generate_fields(
+    config: Config,
+    g_params,
+    coarse: np.ndarray,
+    chunk_size: int = 0,
+) -> np.ndarray:
+    """Run (N, h, w, C) coarse covariates -> (N, H, W, P) generated fields.
+
+    Chunked like the reference (100 chunks, ``gen_fake_ds.py:156-159``) but
+    with a fixed chunk size so one compiled program serves every chunk;
+    the ragged tail is padded to the chunk size and trimmed after.
+    ``chunk_size=0`` uses ``config.chunk_size``.
+    """
+    gen, _ = make_models(config)
+    fwd = jax.jit(gen.apply)
+    chunk = chunk_size or config.chunk_size
+    n = coarse.shape[0]
+    outs = []
+    for start in range(0, n, chunk):
+        block = coarse[start : start + chunk]
+        pad = chunk - block.shape[0]
+        if pad:
+            block = np.concatenate([block, np.zeros((pad, *block.shape[1:]), block.dtype)])
+        fake = np.asarray(fwd(g_params, jnp.asarray(block, jnp.float32)))
+        outs.append(fake[: chunk - pad] if pad else fake)
+    return np.concatenate(outs, axis=0)
+
+
+def write_generated_netcdf(
+    path: str,
+    fields: np.ndarray,
+    var_names: Sequence[str] = ("u10", "v10"),
+    times: Optional[np.ndarray] = None,
+    lats: Optional[np.ndarray] = None,
+    lons: Optional[np.ndarray] = None,
+    time_chunk: int = 5,
+) -> None:
+    """Write generated (N, H, W, P) fields as a NetCDF of per-variable
+    (time, lat, lon) arrays (parity with ``gen_fake_ds.py:162``'s chunked
+    ``to_netcdf``)."""
+    n, h, w, p = fields.shape
+    coords: Dict[str, np.ndarray] = {
+        "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),
+        "lat": np.arange(h, dtype=np.float64) if lats is None else np.asarray(lats),
+        "lon": np.arange(w, dtype=np.float64) if lons is None else np.asarray(lons),
+    }
+    variables = {name: fields[..., i] for i, name in enumerate(var_names[:p])}
+    dims = {name: ("time", "lat", "lon") for name in variables}
+    chunks = {name: (min(time_chunk, n), h, w) for name in variables}
+    write_netcdf(path, variables, dims, coords=coords, chunks=chunks)

@@ -10,3 +10,4 @@ from downgan_tpu.ops.losses import (  # noqa: F401
 )
 from downgan_tpu.ops.msssim import ms_ssim, ssim, msssim_metric  # noqa: F401
 from downgan_tpu.ops.spectral import radial_spectrum, ralsd  # noqa: F401
+from downgan_tpu.ops.metrics import METRIC_REGISTRY, resolve_metrics  # noqa: F401

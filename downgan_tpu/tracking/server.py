@@ -1,0 +1,158 @@
+"""Tracking UI server (parity with ``DoWnGAN/mlflow_tools/mlflow_server_cmd.py``).
+
+The reference shells out to ``mlflow server --host 0.0.0.0 -p 5555``; here a
+stdlib ``http.server`` serves the local tracking store: an HTML index of
+experiments/runs, per-run param/metric tables with inline SVG sparklines,
+and raw artifact files. Zero dependencies beyond the standard library.
+
+Run: ``python -m downgan_tpu.tracking.server --root experiments -p 5555``
+"""
+from __future__ import annotations
+
+import argparse
+import html
+import json
+import os
+from http.server import HTTPServer, SimpleHTTPRequestHandler
+from urllib.parse import unquote, urlparse
+
+from downgan_tpu.tracking.store import TrackingStore
+
+_STYLE = (
+    "<style>body{font-family:sans-serif;margin:2em;color:#222}"
+    "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
+    "padding:4px 10px;text-align:left}a{color:#06c}</style>"
+)
+
+
+def _sparkline(values, width=240, height=40):
+    if len(values) < 2:
+        return ""
+    lo, hi = min(values), max(values)
+    span = (hi - lo) or 1.0
+    pts = " ".join(
+        f"{i * width / (len(values) - 1):.1f},"
+        f"{height - (v - lo) / span * height:.1f}"
+        for i, v in enumerate(values)
+    )
+    return (
+        f'<svg width="{width}" height="{height}">'
+        f'<polyline points="{pts}" fill="none" stroke="#06c" stroke-width="1.5"/></svg>'
+    )
+
+
+class TrackingHandler(SimpleHTTPRequestHandler):
+    store: TrackingStore = None  # injected by serve()
+
+    def log_message(self, *args) -> None:  # quiet
+        pass
+
+    def _send_html(self, body: str, code: int = 200) -> None:
+        data = f"<!doctype html><html><head>{_STYLE}</head><body>{body}</body></html>".encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802
+        path = unquote(urlparse(self.path).path)
+        parts = [p for p in path.split("/") if p]
+        store = self.store
+        try:
+            if not parts:
+                rows = "".join(
+                    f'<tr><td>{eid}</td><td><a href="/exp/{eid}">'
+                    f"{html.escape(info['name'])}</a></td></tr>"
+                    for eid, info in store.experiments().items()
+                )
+                self._send_html(
+                    f"<h1>downgan-tpu tracking</h1><table>"
+                    f"<tr><th>id</th><th>experiment</th></tr>{rows}</table>"
+                )
+            elif parts[0] == "exp" and len(parts) == 2:
+                rows = "".join(
+                    f'<tr><td><a href="/run/{r.run_id}">{r.run_id}</a></td>'
+                    f"<td>{html.escape(r.meta.get('run_name', ''))}</td>"
+                    f"<td>{r.meta.get('status', '')}</td></tr>"
+                    for r in store.runs(parts[1])
+                )
+                self._send_html(
+                    f'<p><a href="/">&larr; experiments</a></p><h1>experiment '
+                    f"{parts[1]}</h1><table><tr><th>run</th><th>name</th>"
+                    f"<th>status</th></tr>{rows}</table>"
+                )
+            elif parts[0] == "run" and len(parts) == 2:
+                run = store.get_run(parts[1])
+                params = "".join(
+                    f"<tr><td>{html.escape(str(k))}</td>"
+                    f"<td>{html.escape(str(v))}</td></tr>"
+                    for k, v in sorted(run.params.items())
+                )
+                metrics = ""
+                for name in run.metric_names:
+                    hist = run.metric_history(name)
+                    vals = [h["value"] for h in hist]
+                    last = f"{vals[-1]:.6g}" if vals else "-"
+                    metrics += (
+                        f"<tr><td>{html.escape(name)}</td><td>{last}</td>"
+                        f"<td>{_sparkline(vals)}</td>"
+                        f'<td><a href="/metric/{run.run_id}/{name}">csv</a></td></tr>'
+                    )
+                arts = ""
+                for dirpath, _, files in os.walk(run.artifact_dir):
+                    for fn in sorted(files):
+                        rel = os.path.relpath(os.path.join(dirpath, fn), run.artifact_dir)
+                        arts += f'<li><a href="/artifact/{run.run_id}/{rel}">{html.escape(rel)}</a></li>'
+                self._send_html(
+                    f'<p><a href="/exp/{run.experiment_id}">&larr; runs</a></p>'
+                    f"<h1>run {run.run_id}</h1><h2>params</h2><table>{params}</table>"
+                    f"<h2>metrics</h2><table><tr><th>metric</th><th>last</th>"
+                    f"<th>history</th><th></th></tr>{metrics}</table>"
+                    f"<h2>artifacts</h2><ul>{arts}</ul>"
+                )
+            elif parts[0] == "metric" and len(parts) == 3:
+                run = store.get_run(parts[1])
+                data = json.dumps(run.metric_history(parts[2])).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif parts[0] == "artifact" and len(parts) >= 3:
+                run = store.get_run(parts[1])
+                fpath = os.path.join(run.artifact_dir, *parts[2:])
+                if not os.path.realpath(fpath).startswith(os.path.realpath(run.artifact_dir)):
+                    raise KeyError("path escape")
+                with open(fpath, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", self.guess_type(fpath))
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._send_html("<h1>404</h1>", 404)
+        except (KeyError, FileNotFoundError):
+            self._send_html("<h1>404</h1>", 404)
+
+
+def serve(root: str, host: str = "0.0.0.0", port: int = 5555) -> HTTPServer:
+    handler = type("Handler", (TrackingHandler,), {"store": TrackingStore(root)})
+    server = HTTPServer((host, port), handler)
+    return server
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="experiments")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("-p", "--port", type=int, default=5555)
+    args = ap.parse_args()
+    server = serve(args.root, args.host, args.port)
+    print(f"tracking UI on http://{args.host}:{args.port} (store: {args.root})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

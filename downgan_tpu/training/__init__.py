@@ -5,3 +5,4 @@ from downgan_tpu.training.wgan import (  # noqa: F401
     build_epoch_scan,
     gradient_penalty,
 )
+from downgan_tpu.training.trainer import Trainer  # noqa: F401

@@ -1,0 +1,183 @@
+"""Training orchestration: the imperative shell around the jitted core.
+
+Capability parity with the reference's epoch loop
+(``DoWnGAN/GAN/wasserstein.py:120-189``) plus its observability tails
+(``mlflow_tools/mlflow_epoch.py``, ``gen_grid_plots.py``), re-designed so
+that Python owns only I/O and scheduling:
+
+  * the whole epoch of critic/generator updates + per-batch metrics runs
+    as ONE compiled program (``build_epoch_scan`` / ``build_dp_epoch_scan``),
+    or as a per-step jitted loop when ``hp.fused_epoch`` is off;
+  * per-epoch: train metric means -> tracker + CSV (parity with
+    ``post_epoch_metric_mean``/``log_to_file``), grid images for train and
+    test (``gen_grid_images``), a full test-set metric pass
+    (``wasserstein.py:157-169``), and a FULL-train-state Orbax checkpoint
+    (upgrade over the reference's weights-only ``log_network_models``);
+  * resume restores params, both Adam states and the step counter.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from downgan_tpu.config.config import Config
+from downgan_tpu.data.dataset import DeviceDataset
+from downgan_tpu.training.state import GANTrainState, create_state, make_models
+from downgan_tpu.training.wgan import build_epoch_scan, build_eval_metrics, build_train_step
+from downgan_tpu.utils.plots import gen_grid_images
+
+
+class Trainer:
+    """WGAN-GP trainer over device-resident datasets.
+
+    ``run`` is an optional :class:`downgan_tpu.tracking.Run`;
+    ``checkpoint_manager`` an optional
+    :class:`downgan_tpu.utils.checkpoint.CheckpointManager`; ``mesh`` an
+    optional device mesh for data-parallel training.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        train: DeviceDataset,
+        test: Optional[DeviceDataset] = None,
+        run=None,
+        checkpoint_manager=None,
+        mesh=None,
+        save_every: int = 1,
+        plot_every: int = 1,
+        verbose: bool = True,
+    ):
+        self.config = config
+        self.train_ds = train
+        self.test_ds = test
+        self.run = run
+        self.ckpt = checkpoint_manager
+        self.mesh = mesh
+        self.save_every = save_every
+        self.plot_every = plot_every
+        self.verbose = verbose
+
+        self.gen, self.critic = make_models(config)
+        self.state: GANTrainState = create_state(config, jax.random.PRNGKey(config.seed))
+        self.epoch = 0
+        self._np_rng = np.random.default_rng(config.seed)
+
+        if mesh is not None:
+            from downgan_tpu.parallel.dp import build_dp_epoch_scan, build_dp_train_step
+            from downgan_tpu.parallel.mesh import replicate_state
+
+            self.state = replicate_state(mesh, self.state)
+            self._epoch_fn = build_dp_epoch_scan(config, self.gen, self.critic, mesh)
+            self._step_fn = build_dp_train_step(config, self.gen, self.critic, mesh)
+        else:
+            self._epoch_fn = jax.jit(
+                build_epoch_scan(config, self.gen, self.critic), donate_argnums=(0,)
+            )
+            self._step_fn = jax.jit(
+                build_train_step(config, self.gen, self.critic), donate_argnums=(0,)
+            )
+        self._eval_fn = jax.jit(build_eval_metrics(config, self.gen, self.critic))
+        self._gen_fwd = jax.jit(lambda params, x: self.gen.apply(params, x))
+
+    # -- resume --------------------------------------------------------
+    def maybe_resume(self) -> bool:
+        """Restore the latest checkpoint if one exists. Returns True if
+        training resumed (an upgrade over the reference — SURVEY §5)."""
+        if self.ckpt is None or self.ckpt.latest_step() is None:
+            return False
+        self.state = self.ckpt.restore(self.state)
+        self.epoch = int(self.ckpt.latest_step())
+        if self.verbose:
+            print(f"resumed from checkpoint at epoch {self.epoch}")
+        return True
+
+    # -- epoch internals ----------------------------------------------
+    def _run_train_epoch(self, rng: jax.Array) -> Dict[str, float]:
+        bs = self.config.hp.batch_size
+        perm = jnp.asarray(self.train_ds.epoch_perm(self._np_rng, bs))
+        if self.config.hp.fused_epoch:
+            self.state, stacked = self._epoch_fn(
+                self.state, self.train_ds.coarse, self.train_ds.fine, perm, rng
+            )
+            return {k: float(jnp.mean(v)) for k, v in stacked.items()}
+        sums: Dict[str, float] = {}
+        n = 0
+        for idx in np.asarray(perm):
+            coarse = jnp.take(self.train_ds.coarse, jnp.asarray(idx), axis=0)
+            fine = jnp.take(self.train_ds.fine, jnp.asarray(idx), axis=0)
+            self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
+            n += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def _run_test_pass(self) -> Dict[str, float]:
+        assert self.test_ds is not None
+        bs = self.config.hp.batch_size
+        perm = self.test_ds.epoch_perm(self._np_rng, bs, shuffle=False)
+        sums: Dict[str, float] = {}
+        for idx in perm:
+            coarse = jnp.take(self.test_ds.coarse, jnp.asarray(idx), axis=0)
+            fine = jnp.take(self.test_ds.fine, jnp.asarray(idx), axis=0)
+            for k, v in self._eval_fn(self.state, coarse, fine).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        n = max(len(perm), 1)
+        return {k: v / n for k, v in sums.items()}
+
+    def _log_epoch(self, split: str, means: Dict[str, float]) -> None:
+        if self.run is None:
+            return
+        tagged = {f"{k}_{split}": v for k, v in means.items()}
+        self.run.log_metrics(tagged, step=self.epoch)
+        self.run.append_csv_row(
+            f"{split}_metrics.csv", {"epoch": self.epoch, **means}
+        )
+
+    def _plot_split(self, split: str, ds: DeviceDataset) -> None:
+        if self.run is None:
+            return
+        bs = min(self.config.hp.batch_size, len(ds))
+        coarse = np.asarray(ds.coarse[:bs])
+        real = np.asarray(ds.fine[:bs])
+        fake = np.asarray(self._gen_fwd(self.state.g_params, ds.coarse[:bs]))
+        gen_grid_images(
+            self.run.artifact_dir, coarse, fake, real, self.epoch, split,
+        )
+
+    # -- main loop -----------------------------------------------------
+    def train(self, epochs: Optional[int] = None) -> GANTrainState:
+        epochs = self.config.hp.epochs if epochs is None else epochs
+        base_rng = jax.random.PRNGKey(self.config.seed + 1)
+        while self.epoch < epochs:
+            t0 = time.perf_counter()
+            rng = jax.random.fold_in(base_rng, self.epoch)
+            train_means = self._run_train_epoch(rng)
+            self._log_epoch("train", train_means)
+
+            if self.epoch % self.plot_every == 0:
+                self._plot_split("train", self.train_ds)
+
+            if self.test_ds is not None and len(self.test_ds) >= self.config.hp.batch_size:
+                test_means = self._run_test_pass()
+                self._log_epoch("test", test_means)
+                if self.epoch % self.plot_every == 0:
+                    self._plot_split("test", self.test_ds)
+
+            if self.ckpt is not None and self.epoch % self.save_every == 0:
+                self.ckpt.save(self.epoch, self.state)
+
+            if self.verbose:
+                dt = time.perf_counter() - t0
+                msg = ", ".join(f"{k}={v:.4g}" for k, v in sorted(train_means.items()))
+                print(f"epoch {self.epoch} [{dt:.1f}s] {msg}", flush=True)
+            self.epoch += 1
+
+        if self.ckpt is not None:
+            self.ckpt.save(self.epoch - 1, self.state)
+            self.ckpt.wait()
+        return self.state

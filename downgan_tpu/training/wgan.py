@@ -41,14 +41,8 @@ from jax import lax
 from downgan_tpu.config.config import Config
 from downgan_tpu.models.critic import Critic
 from downgan_tpu.models.generator import Generator
-from downgan_tpu.ops.losses import (
-    content_loss,
-    content_mse_loss,
-    high_pass,
-    low_pass,
-    wass_loss,
-)
-from downgan_tpu.ops.msssim import msssim_metric
+from downgan_tpu.ops.losses import content_loss, low_pass, wass_loss
+from downgan_tpu.ops.metrics import resolve_metrics
 from downgan_tpu.training.state import GANTrainState, make_optimizer
 
 Metrics = Dict[str, jax.Array]
@@ -179,14 +173,16 @@ def build_train_step(
         }
         if with_metrics:
             # Parity with the per-batch metric pass (mlflow_epoch.py:53-63):
-            # fresh fake from the post-update generator, post-update critic.
+            # fresh fake from the post-update generator, post-update critic;
+            # the metric set is the hp.metrics_to_calculate registry.
             fake_m = g_apply(g_params, coarse)
-            metrics["MAE"] = content_loss(fine, fake_m)
-            metrics["MSE"] = content_mse_loss(fine, fake_m)
-            metrics["MSSSIM"] = msssim_metric(fine, fake_m)
-            metrics["Wass"] = wass_loss(
-                jnp.mean(c_apply(c_params, fine)), jnp.mean(c_apply(c_params, fake_m))
-            )
+            for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
+                metrics[name] = fn(fine, fake_m)
+            if "Wass" in hp.metrics_to_calculate:
+                metrics["Wass"] = wass_loss(
+                    jnp.mean(c_apply(c_params, fine)),
+                    jnp.mean(c_apply(c_params, fake_m)),
+                )
         return new_state, metrics
 
     return train_step
@@ -198,16 +194,18 @@ def build_eval_metrics(
     """Test-set metric pass (parity with wasserstein.py:157-169): per batch,
     generate fake and compute the metric registry, no parameter updates."""
 
+    hp = config.hp
+
     def eval_metrics(state: GANTrainState, coarse: jax.Array, fine: jax.Array) -> Metrics:
         fake = gen.apply(state.g_params, coarse)
-        c_real_mean = jnp.mean(critic.apply(state.c_params, fine))
-        c_fake_mean = jnp.mean(critic.apply(state.c_params, fake))
-        return {
-            "MAE": content_loss(fine, fake),
-            "MSE": content_mse_loss(fine, fake),
-            "MSSSIM": msssim_metric(fine, fake),
-            "Wass": wass_loss(c_real_mean, c_fake_mean),
-        }
+        out: Metrics = {}
+        for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
+            out[name] = fn(fine, fake)
+        if "Wass" in hp.metrics_to_calculate:
+            c_real_mean = jnp.mean(critic.apply(state.c_params, fine))
+            c_fake_mean = jnp.mean(critic.apply(state.c_params, fake))
+            out["Wass"] = wass_loss(c_real_mean, c_fake_mean)
+        return out
 
     return eval_metrics
 

@@ -1,0 +1,76 @@
+"""Orbax checkpointing of the FULL train state — and a real resume path.
+
+The reference persists model weights only, every epoch, through MLflow
+(``DoWnGAN/mlflow_tools/mlflow_epoch.py:65-69``) and has **no resume**: a
+crash loses both Adam states and the step counter (SURVEY §5). Here the
+whole :class:`~downgan_tpu.training.state.GANTrainState` (G/C params, both
+optimizer states, step) checkpoints atomically via Orbax, with retention,
+async-friendly layout, and restore that reproduces training bit-for-bit
+from the saved step.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from downgan_tpu.training.state import GANTrainState
+
+
+class CheckpointManager:
+    """Thin wrapper around ``ocp.CheckpointManager`` for GANTrainState."""
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 3,
+                 save_interval_steps: int = 1):
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state: GANTrainState, force: bool = False) -> bool:
+        saved = self._mngr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        return bool(saved)
+
+    def restore(self, target: GANTrainState, step: Optional[int] = None) -> GANTrainState:
+        """Restore into the structure of ``target`` (an abstract or concrete
+        state built by ``create_state``)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def all_steps(self):
+        return self._mngr.all_steps()
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()
+
+
+def save_params(path: str, params: Any) -> None:
+    """One-shot weights-only save (the analogue of the reference's
+    per-epoch ``log_state_dict``, for inference artifacts)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_params(path: str, target: Any = None) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(os.path.abspath(path), target)
+    ckptr.close()
+    return out

@@ -1,0 +1,90 @@
+"""Mesh / data-parallel tests on the virtual 8-device CPU mesh.
+
+SURVEY §4: multi-device tests must run on a CPU mesh so DP is testable
+without a pod (conftest.py forces 8 host devices).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from downgan_tpu.config.config import Config, HyperParams
+from downgan_tpu.parallel.dp import build_dp_epoch_scan, build_dp_train_step
+from downgan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from downgan_tpu.training.state import create_state, make_models
+from downgan_tpu.training.wgan import build_train_step
+
+
+def tiny_config(batch):
+    hp = HyperParams(batch_size=batch, metrics_to_calculate=("MAE", "MSE", "Wass"))
+    return Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1, hp=hp)
+
+
+def test_make_mesh_wildcard_and_validation():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh((2, -1), ("data", "spatial"))
+    assert mesh2.shape == {"data": 2, "spatial": len(jax.devices()) // 2}
+    with pytest.raises(ValueError):
+        make_mesh((3,), devices=jax.devices())  # 8 % 3 != 0
+
+
+def test_dp_step_matches_single_device():
+    """The DP-sharded step must produce the same updated params as the
+    unsharded step on the same global batch (GSPMD all-reduce == global
+    mean)."""
+    config = tiny_config(batch=8)
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+    coarse = np.random.default_rng(0).standard_normal((8, 8, 8, 7)).astype(np.float32)
+    fine = np.random.default_rng(1).standard_normal((8, 32, 32, 2)).astype(np.float32)
+
+    single = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+    s1, m1 = single(state, jnp.asarray(coarse), jnp.asarray(fine), rng)
+
+    mesh = make_mesh()
+    dp = build_dp_train_step(config, gen, critic, mesh, with_metrics=False,
+                             donate_state=False)
+    state_r = replicate_state(mesh, create_state(config, jax.random.PRNGKey(0)))
+    coarse_s, fine_s = shard_batch(mesh, coarse, fine)
+    s2, m2 = dp(state_r, coarse_s, fine_s, rng)
+
+    assert float(m1["critic_loss"]) == pytest.approx(float(m2["critic_loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(s1.c_params), jax.tree.leaves(s2.c_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_epoch_scan_runs_and_advances():
+    config = tiny_config(batch=8)
+    gen, critic = make_models(config)
+    mesh = make_mesh()
+    epoch_fn = build_dp_epoch_scan(config, gen, critic, mesh, with_metrics=True,
+                                   donate_state=False)
+    state = replicate_state(mesh, create_state(config, jax.random.PRNGKey(0)))
+    rng_np = np.random.default_rng(0)
+    coarse = rng_np.standard_normal((32, 8, 8, 7)).astype(np.float32)
+    fine = rng_np.standard_normal((32, 32, 32, 2)).astype(np.float32)
+    perm = jnp.arange(32, dtype=jnp.int32).reshape(4, 8)
+    new_state, stacked = epoch_fn(
+        state, jnp.asarray(coarse), jnp.asarray(fine), perm, jax.random.PRNGKey(1)
+    )
+    assert int(new_state.step) == 4
+    assert stacked["MAE"].shape == (4,)
+    assert np.all(np.isfinite(np.asarray(stacked["critic_loss"])))
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    arr = np.zeros((16, 4, 4, 2), np.float32)
+    sharded = jax.device_put(arr, batch_sharding(mesh, arr.ndim))
+    # each device holds 16/8 = 2 rows
+    shard = sharded.addressable_shards[0]
+    assert shard.data.shape == (2, 4, 4, 2)

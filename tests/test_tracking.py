@@ -1,0 +1,117 @@
+"""Tracking store / experiment utils / HTTP viewer tests."""
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from downgan_tpu.config.config import Config
+from downgan_tpu.tracking import (
+    TrackingStore,
+    define_experiment,
+    hyperparams_dict,
+    log_hyperparams,
+    write_tags,
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return TrackingStore(str(tmp_path / "exps"))
+
+
+def test_experiment_create_and_lookup(store):
+    eid = store.create_experiment("alpha")
+    assert store.experiment_by_name("alpha") == eid
+    # idempotent
+    assert store.create_experiment("alpha") == eid
+    eid2 = store.create_experiment("beta")
+    assert eid2 != eid
+
+
+def test_run_params_metrics_roundtrip(store):
+    eid = store.create_experiment("exp")
+    with store.create_run(eid, run_name="r1") as run:
+        run.log_params({"lr": 2.5e-4, "batch": 32})
+        run.log_param("region", "florida")
+        for step in range(5):
+            run.log_metric("MAE_train", 1.0 / (step + 1), step)
+    assert run.params["lr"] == 2.5e-4
+    assert run.params["region"] == "florida"
+    hist = run.metric_history("MAE_train")
+    assert [h["step"] for h in hist] == list(range(5))
+    assert hist[-1]["value"] == pytest.approx(0.2)
+    assert run.meta["status"] == "FINISHED"
+    # run lookup by id
+    assert store.get_run(run.run_id).run_id == run.run_id
+
+
+def test_run_failure_status(store):
+    eid = store.create_experiment("exp")
+    with pytest.raises(RuntimeError):
+        with store.create_run(eid) as run:
+            raise RuntimeError("boom")
+    assert run.meta["status"] == "FAILED"
+
+
+def test_csv_sink_and_artifacts(store, tmp_path):
+    eid = store.create_experiment("exp")
+    run = store.create_run(eid).start()
+    run.append_csv_row("train_metrics.csv", {"epoch": 0, "MAE": 1.0})
+    run.append_csv_row("train_metrics.csv", {"epoch": 1, "MAE": 0.5})
+    src = tmp_path / "img.txt"
+    src.write_text("hello")
+    dest = run.log_artifact(str(src))
+    with open(dest) as f:
+        assert f.read() == "hello"
+    csv_path = run.artifact_path("train_metrics.csv")
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "epoch,MAE" and len(lines) == 3
+
+
+def test_define_experiment_and_hyperparams(store):
+    eid = define_experiment(store, name="exp", tag="note")
+    assert store.experiments()[eid]["tags"]["mlflow.note.content"] == "note"
+    config = Config()
+    hp = hyperparams_dict(config)
+    # every reference hyperparam is present (hyperparams.py:15-35)
+    for key in ("gp_lambda", "critic_iterations", "batch_size", "gamma",
+                "content_lambda", "ncomp", "lr", "epochs"):
+        assert key in hp
+    run = store.create_run(eid).start()
+    log_hyperparams(run, config)
+    assert run.params["gp_lambda"] == 10.0
+    write_tags(run, description="a run")
+    assert run.meta["tags"]["description"] == "a run"
+
+
+def test_server_pages(store):
+    from downgan_tpu.tracking.server import serve
+
+    eid = store.create_experiment("exp")
+    run = store.create_run(eid, run_name="r").start()
+    run.log_params({"lr": 1e-3})
+    run.log_metric("MAE", 0.5, 0)
+    run.log_metric("MAE", 0.25, 1)
+    with open(run.artifact_path("note.txt"), "w") as f:
+        f.write("artifact-body")
+
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        index = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "exp" in index
+        run_page = urllib.request.urlopen(f"{base}/run/{run.run_id}").read().decode()
+        assert "MAE" in run_page and "lr" in run_page and "note.txt" in run_page
+        hist = json.loads(
+            urllib.request.urlopen(f"{base}/metric/{run.run_id}/MAE").read()
+        )
+        assert [h["value"] for h in hist] == [0.5, 0.25]
+        art = urllib.request.urlopen(f"{base}/artifact/{run.run_id}/note.txt").read()
+        assert art == b"artifact-body"
+    finally:
+        server.shutdown()

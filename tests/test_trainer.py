@@ -1,0 +1,103 @@
+"""Trainer orchestration + Orbax checkpoint/resume tests (tiny shapes)."""
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from downgan_tpu.config.config import Config, HyperParams
+from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
+from downgan_tpu.tracking import TrackingStore
+from downgan_tpu.training.state import create_state
+from downgan_tpu.training.trainer import Trainer
+from downgan_tpu.utils.checkpoint import CheckpointManager
+
+
+def tiny_config(**hp_kw) -> Config:
+    hp = HyperParams(
+        batch_size=4,
+        metrics_to_calculate=("MAE", "MSE", "Wass"),  # MSSSIM needs >=128px
+        **hp_kw,
+    )
+    return Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1, hp=hp)
+
+
+def tiny_datasets(config, n=16, n_test=8):
+    coarse, fine = synthetic_dataset(
+        n_samples=n + n_test, coarse_size=config.coarse_size,
+        fine_size=config.fine_size, seed=0,
+    )
+    return (
+        DeviceDataset.from_numpy(coarse[:n], fine[:n]),
+        DeviceDataset.from_numpy(coarse[n:], fine[n:]),
+    )
+
+
+def test_trainer_end_to_end_with_tracking(tmp_path):
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+    store = TrackingStore(str(tmp_path / "exps"))
+    run = store.create_run(store.create_experiment("t")).start()
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+
+    trainer = Trainer(config, train_ds, test_ds, run=run,
+                      checkpoint_manager=ckpt, verbose=False)
+    state = trainer.train(epochs=2)
+    assert int(state.step) == 2 * (len(train_ds) // config.hp.batch_size)
+
+    # metrics logged per epoch for both splits
+    for split in ("train", "test"):
+        hist = run.metric_history(f"MAE_{split}")
+        assert [h["step"] for h in hist] == [0, 1]
+        assert os.path.exists(run.artifact_path(f"{split}_metrics.csv"))
+        assert os.path.exists(os.path.join(run.artifact_dir, f"{split}_images.png"))
+
+    # checkpoints exist
+    ckpt.wait()
+    assert ckpt.latest_step() == 1
+    ckpt.close()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = tiny_config()
+    state = create_state(config, jax.random.PRNGKey(0))
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(0, state, force=True)
+    mngr.wait()
+
+    target = create_state(config, jax.random.PRNGKey(7))  # different init
+    restored = mngr.restore(target)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mngr.close()
+
+
+def test_trainer_resume(tmp_path):
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    t1 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt, verbose=False)
+    t1.train(epochs=2)
+    ckpt.wait()
+    steps_after_2 = int(t1.state.step)
+    ckpt.close()
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    t2 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt2, verbose=False)
+    assert t2.maybe_resume()
+    assert t2.epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.step), np.asarray(steps_after_2)
+    )
+    t2.train(epochs=3)  # continues from epoch 1 -> runs epochs 1, 2
+    assert int(t2.state.step) > steps_after_2
+    ckpt2.close()
+
+
+def test_trainer_unfused_path_matches_schedule(tmp_path):
+    config = tiny_config(fused_epoch=False)
+    train_ds, _ = tiny_datasets(config)
+    trainer = Trainer(config, train_ds, None, verbose=False)
+    trainer.train(epochs=1)
+    assert int(trainer.state.step) == len(train_ds) // config.hp.batch_size
