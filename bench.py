@@ -30,6 +30,9 @@ A100_REFERENCE_STEPS_PER_SEC = 10.0
 
 
 def main() -> None:
+    from downgan_tpu.runtime import setup_cache
+
+    setup_cache()
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.parallel.dp import build_dp_train_step
     from downgan_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch

@@ -37,6 +37,9 @@ def _load_config(config_path: Optional[str], region: Optional[str], **hp_overrid
 @click.group()
 def cli() -> None:
     """downgan-tpu: TPU-native WGAN-GP super-resolution downscaling."""
+    from downgan_tpu.runtime import setup_cache
+
+    setup_cache()
 
 
 @cli.command()

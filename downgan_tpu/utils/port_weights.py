@@ -1,0 +1,86 @@
+"""Port reference (torch) network weights into downgan_tpu flax params.
+
+The parity harness (BASELINE.md "RMSE/RALSD parity") needs bit-comparable
+forward passes between the reference PyTorch networks
+(``DoWnGAN/networks/generator.py``, ``critic.py``) and the NHWC flax
+re-designs. This module maps a torch ``state_dict`` (as name -> numpy
+arrays; no torch dependency here) onto the flax parameter pytree:
+
+  * conv kernels: OIHW -> HWIO transpose;
+  * dense kernels: (out, in) -> (in, out) transpose;
+  * the critic's first classifier layer additionally permutes its input
+    axis from the reference's NCHW flatten order to our NHWC flatten
+    order (same math, different memory layout).
+
+Reference key layout (verified by executing the reference nets):
+``conv1.*``, ``res_blocks.{i}.dense_blocks.{j}.b{k}.0.*``, ``conv2.*``,
+``upsampling.{0,3,6}.*``, ``conv3.{0,2}.*`` for the generator;
+``features.{0,2,..,14}.*`` (bias only at 0) and ``classifier.{0,2}.*``
+for the critic.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def _conv(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _dense(sd: StateDict, prefix: str, input_perm: Array | None = None) -> Dict[str, Array]:
+    kernel = np.transpose(np.asarray(sd[f"{prefix}.weight"]))  # (in, out)
+    if input_perm is not None:
+        kernel = kernel[input_perm]
+    return {"kernel": kernel, "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def port_generator(
+    sd: StateDict, num_res_blocks: int = 16, num_upsample: int = 3
+) -> Dict[str, Any]:
+    """torch Generator state_dict -> flax variables for
+    :class:`downgan_tpu.models.generator.Generator`."""
+    params: Dict[str, Any] = {"conv1": {"Conv_0": _conv(sd, "conv1")}}
+    for i in range(num_res_blocks):
+        rrdb: Dict[str, Any] = {}
+        for j in range(3):
+            drb = {
+                f"b{k}": {"Conv_0": _conv(sd, f"res_blocks.{i}.dense_blocks.{j}.b{k}.0")}
+                for k in range(1, 6)
+            }
+            rrdb[f"drb{j}"] = drb
+        params[f"rrdb{i}"] = rrdb
+    params["conv2"] = {"Conv_0": _conv(sd, "conv2")}
+    for u in range(num_upsample):
+        # torch Sequential indices: conv at 0, 3, 6 (LeakyReLU/PixelShuffle between)
+        params[f"up{u}"] = {"Conv_0": _conv(sd, f"upsampling.{3 * u}")}
+    params["head1"] = {"Conv_0": _conv(sd, "conv3.0")}
+    params["head2"] = {"Conv_0": _conv(sd, "conv3.2")}
+    return {"params": params}
+
+
+def _nchw_to_nhwc_flat_perm(c: int, h: int, w: int) -> Array:
+    """Permutation p with flax_flat[i] = torch_flat[p[i]]: index by
+    (h, w, c) NHWC order into the torch (c, h, w) flat layout."""
+    idx = np.arange(c * h * w).reshape(c, h, w)  # torch flat order
+    return np.transpose(idx, (1, 2, 0)).reshape(-1)  # NHWC traversal
+
+
+def port_critic(sd: StateDict, base: int = 16, fine_size: int = 128) -> Dict[str, Any]:
+    """torch Critic state_dict -> flax variables for
+    :class:`downgan_tpu.models.critic.Critic`."""
+    params: Dict[str, Any] = {}
+    for i in range(8):
+        params[f"conv{i}"] = {"Conv_0": _conv(sd, f"features.{2 * i}")}
+    spatial = fine_size // 16
+    perm = _nchw_to_nhwc_flat_perm(8 * base, spatial, spatial)
+    params["fc1"] = _dense(sd, "classifier.0", input_perm=perm)
+    params["fc2"] = _dense(sd, "classifier.2")
+    return {"params": params}
