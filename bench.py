@@ -2,10 +2,12 @@
 
 Measures the complete per-batch work of the reference hot loop
 (``DoWnGAN/GAN/wasserstein.py:120-148`` + the per-batch metric pass,
-``mlflow_tools/mlflow_epoch.py:53-63``) as one jitted TPU program: critic
-update with nested-grad gradient penalty, scheduled generator update, and
-the MAE/MSE/MSSSIM/Wass metric pass — florida workload shapes
-(64x16x16x7 coarse -> 64x128x128x2 fine, G 1.70M / C 1.11M params).
+``mlflow_tools/mlflow_epoch.py:53-63``) in the production configuration:
+the train step scanned on device (``lax.scan`` over K steps — one XLA
+program, zero per-step host dispatch), florida workload shapes
+(64x16x16x7 coarse -> 64x128x128x2 fine, G 1.70M / C 1.11M params),
+critic update with nested-grad gradient penalty, scheduled generator
+update, MAE/MSE/MSSSIM/Wass metric pass per step.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
 measured against a modeled reference throughput of 10 train-steps/sec for
@@ -13,9 +15,9 @@ the same full per-batch work at batch 64 on one A100 (ESRGAN-class
 training at 128px with a 5-forward critic pass and double backward), per
 the BASELINE.json north-star framing (>=5x A100 on v5e-8).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_BATCH (64), BENCH_STEPS (30), BENCH_DTYPE (float32),
-BENCH_METRICS (1).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Env knobs: BENCH_BATCH (64), BENCH_SCAN_STEPS (50), BENCH_REPS (5),
+BENCH_DTYPE (float32), BENCH_METRICS (1).
 """
 from __future__ import annotations
 
@@ -24,7 +26,9 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 A100_REFERENCE_STEPS_PER_SEC = 10.0
 
@@ -34,12 +38,13 @@ def main() -> None:
 
     setup_cache()
     from downgan_tpu.config.config import Config, HyperParams
-    from downgan_tpu.parallel.dp import build_dp_train_step
-    from downgan_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from downgan_tpu.parallel.mesh import make_mesh, replicate_state, replicated, shard_batch
     from downgan_tpu.training.state import create_state, make_models
+    from downgan_tpu.training.wgan import build_train_step
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "50"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     with_metrics = os.environ.get("BENCH_METRICS", "1") == "1"
 
@@ -52,25 +57,43 @@ def main() -> None:
     coarse = rng_np.standard_normal((batch, 16, 16, 7)).astype(np.float32)
     fine = rng_np.standard_normal((batch, 128, 128, 2)).astype(np.float32)
     coarse, fine = shard_batch(mesh, coarse, fine)
-    rng = jax.device_put(
-        jax.random.PRNGKey(1),
-        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+
+    step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
+
+    def run_steps(state, coarse, fine, rng):
+        def body(carry, _):
+            new_state, metrics = step_fn(carry, coarse, fine, rng)
+            return new_state, metrics
+
+        state, stacked = lax.scan(body, state, None, length=scan_steps)
+        return state, jax.tree.map(jnp.mean, stacked)
+
+    rep = replicated(mesh)
+    bat = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", None, None, None)
+    )
+    run = jax.jit(
+        run_steps, in_shardings=(rep, bat, bat, rep), out_shardings=(rep, rep)
     )
 
-    step = build_dp_train_step(config, gen, critic, mesh, with_metrics=with_metrics)
+    # NOTE: sync by fetching a scalar output, NOT block_until_ready — the
+    # axon tunnel's block_until_ready can return before execution finishes
+    # (observed experimentally), which silently times enqueue instead of
+    # compute. A host fetch of an output buffer is a true barrier.
+    state, _ = run(state, coarse, fine, rng)  # compile + warmup
+    int(state.step)
 
-    # Warmup: compile + 3 steps.
-    for _ in range(3):
-        state, metrics = step(state, coarse, fine, rng)
-    jax.block_until_ready(state)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, metrics = run(state, coarse, fine, rng)
+        int(state.step)  # true device sync
+        times.append(time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, coarse, fine, rng)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_steps / dt
+    best = min(times)
+    median = sorted(times)[len(times) // 2]
+    steps_per_sec = scan_steps / median
     n_chips = len(jax.devices())
     print(
         json.dumps(
@@ -81,6 +104,7 @@ def main() -> None:
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / A100_REFERENCE_STEPS_PER_SEC, 3),
                 "patches_per_sec_per_chip": round(steps_per_sec * batch / n_chips, 1),
+                "best_steps_per_sec": round(scan_steps / best, 3),
                 "n_chips": n_chips,
                 "dtype": dtype,
             }

@@ -194,6 +194,64 @@ def serve_tracking(root, host, port) -> None:
     server.serve_forever()
 
 
+@cli.command("prepare-covariates")
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--region", "-r", type=click.Choice(list(REGIONS)), default=None)
+@click.option("--set", "-s", "which_set", type=click.Choice(["train", "validation"]),
+              default="train", help="Which split to write (validation is "
+              "standardized with TRAIN statistics).")
+def prepare_covariates(config_path, region, which_set) -> None:
+    """Write one standardized NetCDF per covariate for a region/split
+    (parity with the legacy helpers/covariates.py CLI, including its
+    train-statistics standardization of the validation set)."""
+    import numpy as np
+
+    from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
+    from downgan_tpu.data.netcdf import write_netcdf
+    from downgan_tpu.data.pipeline import standardize_all
+    from downgan_tpu.data.staging import load_covariates, load_fine
+    from downgan_tpu.data.times import filter_times
+
+    config = _load_config(config_path, region)
+    _, times = load_fine(config)
+    if times is None:
+        times = np.asarray(config.range_datetimes)
+    n_times = len(times)
+    cov = load_covariates(config, n_times)
+
+    train_mask = filter_times(times[:n_times], mask_years=config.mask_years)
+    sel_mask = train_mask.copy() if which_set == "train" else ~train_mask
+    sel_mask[0] = False  # legacy quirk: first WRF field dropped (covariates.py)
+
+    # Standardize the TRAIN subset to get the stats, then apply to the split.
+    train_sub = {k: v[train_mask] for k, v in cov.items()}
+    _, stats = standardize_all(train_sub)
+    selected = {k: v[sel_mask] for k, v in cov.items()}
+    standardized, _ = standardize_all(selected, stats=stats)
+
+    os.makedirs(config.proc_data_dir, exist_ok=True)
+    import json as _json
+
+    stats_path = os.path.join(
+        config.proc_data_dir, f"cov_stats_{config.region}.json"
+    )
+    with open(stats_path, "w") as f:
+        _json.dump({k: list(v) for k, v in stats.items()}, f, indent=2)
+    click.echo(stats_path)
+    for name in COVARIATE_NAMES_ORDERED:
+        arr = np.asarray(standardized[name], dtype=np.float32)
+        path = os.path.join(
+            config.proc_data_dir, f"cov_{name}_{which_set}_{config.region}.nc"
+        )
+        write_netcdf(
+            path,
+            variables={name: arr},
+            dims={name: ("time", "lat", "lon")},
+            coords={"time": np.arange(arr.shape[0], dtype=np.float64)},
+        )
+        click.echo(path)
+
+
 @cli.command()
 @click.option("--config", "config_path", type=click.Path(exists=True), default=None)
 def show_config(config_path) -> None:

@@ -80,9 +80,12 @@ def load_covariates(config: Config, n_times: int) -> Dict[str, np.ndarray]:
     for std_name in COVARIATE_NAMES_ORDERED:
         path = config.covariate_paths[std_name]
         arr, _ = _read_var_multifile(path, std_name)
-        if std_name in config.invariant_fields or arr.ndim == 2:
-            if arr.ndim == 2:
-                arr = arr[None]
+        # Time-invariant fields (lsm, z — config.invariant_fields) arrive as
+        # (lat, lon) or (1, lat, lon); broadcast along time. Shape-driven so
+        # a file that already carries a time axis passes through untouched.
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.shape[0] == 1 and n_times > 1:
             arr = extend_along_time(arr, n_times)
         arr = crop_array(np.asarray(arr), config, 1)
         out[std_name] = arr

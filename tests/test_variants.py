@@ -1,0 +1,110 @@
+"""Frequency-separation trainer variant, profiling utils, covariate-prep CLI."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from downgan_tpu.config.config import Config, HyperParams
+from downgan_tpu.ops.losses import high_pass, low_pass
+from downgan_tpu.training.state import create_state, make_models
+from downgan_tpu.training.wgan import build_train_step
+
+
+def tiny_config(**hp_kw):
+    hp = HyperParams(batch_size=4, metrics_to_calculate=("MAE", "MSE", "Wass"), **hp_kw)
+    return Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1, hp=hp)
+
+
+def test_freq_sep_step_runs_and_differs():
+    """freq_sep=True (reference wasserstein_fs.py — the variant is
+    bit-rotted upstream; here it is a first-class flag): the critic sees
+    high-pass residuals, so updates must differ from the plain trainer."""
+    rng = jax.random.PRNGKey(0)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+
+    outs = {}
+    for fs in (False, True):
+        config = tiny_config(freq_sep=fs)
+        gen, critic = make_models(config)
+        state = create_state(config, jax.random.PRNGKey(0))
+        step = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+        new_state, metrics = step(state, coarse, fine, rng)
+        assert np.isfinite(float(metrics["critic_loss"]))
+        outs[fs] = jax.tree.leaves(new_state.c_params)[0]
+    assert not np.allclose(np.asarray(outs[False]), np.asarray(outs[True]))
+
+
+def test_low_high_pass_partition():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 2))
+    lo = low_pass(x, 5)
+    hi = high_pass(x, 5)
+    np.testing.assert_allclose(np.asarray(lo + hi), np.asarray(x), atol=1e-6)
+    # low-pass of a constant field is the field itself (replication pad)
+    const = jnp.ones((1, 8, 8, 1))
+    np.testing.assert_allclose(np.asarray(low_pass(const, 5)), 1.0, atol=1e-6)
+
+
+def test_profiling_utils(tmp_path):
+    from downgan_tpu.utils.profiling import annotate, detect_anomalies, trace
+
+    with trace(str(tmp_path / "prof")):
+        with annotate("span"):
+            jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert any(os.scandir(tmp_path / "prof"))
+
+    with pytest.raises(FloatingPointError):
+        with detect_anomalies(nans=True):
+            jax.jit(lambda x: jnp.log(x))(jnp.zeros(()) - 1.0).block_until_ready()
+    # restored afterwards
+    assert not jax.config.jax_debug_nans
+
+
+def test_prepare_covariates_cli(tmp_path):
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+    from downgan_tpu.data.netcdf import NetCDFFile, write_netcdf
+
+    n_t = 8
+    rng = np.random.default_rng(0)
+    wrf_times = np.array(
+        [20000101.0, 20000101.25, 20000101.5, 20000101.75,
+         20010101.0, 20010101.25, 20010101.5, 20010101.75]
+    )
+    fine_paths = {}
+    for var in ("u10", "v10"):
+        p = str(tmp_path / f"fine_{var}.nc")
+        write_netcdf(p, variables={var: rng.standard_normal((n_t, 160, 688)).astype(np.float32)},
+                     dims={var: ("Times", "lat", "lon")}, coords={"Times": wrf_times})
+        fine_paths[var] = p
+    cov_paths = {}
+    for var in ("u10", "v10", "land_sea_mask", "surface_pressure",
+                "surface_roughness", "geopotential", "cape"):
+        p = str(tmp_path / f"cov_{var}.nc")
+        write_netcdf(p, variables={var: rng.standard_normal((n_t, 20, 86)).astype(np.float32)},
+                     dims={var: ("time", "lat", "lon")},
+                     coords={"time": np.arange(n_t, dtype=np.float64)})
+        cov_paths[var] = p
+
+    config = Config(region="florida", fine_paths=fine_paths,
+                    covariate_paths=cov_paths, already_preprocessed=False,
+                    proc_data_dir=str(tmp_path / "proc"))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(config.to_json())
+
+    result = CliRunner().invoke(
+        cli, ["prepare-covariates", "--config", str(cfg_path), "-s", "validation"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    stats = json.loads((tmp_path / "proc" / "cov_stats_florida.json").read_text())
+    assert "cape" in stats and len(stats["cape"]) == 2
+    with NetCDFFile(str(tmp_path / "proc" / "cov_cape_validation_florida.nc")) as f:
+        arr = f.variable("cape").data
+        # validation = year 2000 rows minus the dropped first sample
+        assert arr.shape == (3, 16, 16)
+        assert np.all(np.isfinite(arr))
