@@ -122,6 +122,11 @@ class HyperParams:
     # TPU-native knobs (no reference equivalent).
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     fused_epoch: bool = True  # lax.scan over the epoch's steps
+    # Fast path: compute per-batch metrics from the fake already generated
+    # for the critic update instead of re-running the post-update generator
+    # (the reference regenerates: mlflow_epoch.py:54). Saves one full G
+    # forward per step; metrics lag the params by one update.
+    metrics_reuse_fake: bool = False
 
     @property
     def effective_gp_weight(self) -> float:

@@ -50,6 +50,7 @@ class Trainer:
         mesh=None,
         save_every: int = 1,
         plot_every: int = 1,
+        tensorboard_dir: Optional[str] = None,
         verbose: bool = True,
     ):
         self.config = config
@@ -61,6 +62,12 @@ class Trainer:
         self.save_every = save_every
         self.plot_every = plot_every
         self.verbose = verbose
+
+        self.tb = None
+        if tensorboard_dir is not None:
+            from downgan_tpu.tracking.tensorboard import TensorBoardSink
+
+            self.tb = TensorBoardSink(tensorboard_dir)
 
         self.gen, self.critic = make_models(config)
         self.state: GANTrainState = create_state(config, jax.random.PRNGKey(config.seed))
@@ -130,9 +137,11 @@ class Trainer:
         return {k: v / n for k, v in sums.items()}
 
     def _log_epoch(self, split: str, means: Dict[str, float]) -> None:
+        tagged = {f"{k}_{split}": v for k, v in means.items()}
+        if self.tb is not None:
+            self.tb.log_metrics(tagged, step=self.epoch)
         if self.run is None:
             return
-        tagged = {f"{k}_{split}": v for k, v in means.items()}
         self.run.log_metrics(tagged, step=self.epoch)
         self.run.append_csv_row(
             f"{split}_metrics.csv", {"epoch": self.epoch, **means}

@@ -174,8 +174,10 @@ def build_train_step(
         if with_metrics:
             # Parity with the per-batch metric pass (mlflow_epoch.py:53-63):
             # fresh fake from the post-update generator, post-update critic;
-            # the metric set is the hp.metrics_to_calculate registry.
-            fake_m = g_apply(g_params, coarse)
+            # the metric set is the hp.metrics_to_calculate registry. The
+            # metrics_reuse_fake fast path reuses the critic-update fake
+            # (saves a third G forward per step).
+            fake_m = fake if hp.metrics_reuse_fake else g_apply(g_params, coarse)
             for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
                 metrics[name] = fn(fine, fake_m)
             if "Wass" in hp.metrics_to_calculate:

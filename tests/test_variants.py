@@ -108,3 +108,38 @@ def test_prepare_covariates_cli(tmp_path):
         # validation = year 2000 rows minus the dropped first sample
         assert arr.shape == (3, 16, 16)
         assert np.all(np.isfinite(arr))
+
+
+def test_metrics_reuse_fake_fast_path():
+    """metrics_reuse_fake skips the third G forward; metric values use the
+    pre-update fake but remain finite and well-shaped."""
+    config = tiny_config(metrics_reuse_fake=True)
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+    _, metrics = step(state, coarse, fine, jax.random.PRNGKey(0))
+    for k in ("MAE", "MSE", "Wass"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_tensorboard_sink(tmp_path):
+    from downgan_tpu.tracking.tensorboard import HAVE_TENSORBOARD, TensorBoardSink, fig_to_array
+
+    sink = TensorBoardSink(str(tmp_path / "tb"))
+    sink.log_metrics({"MAE_train": 0.5}, step=0)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [1, 0])
+    arr = fig_to_array(fig)
+    assert arr.shape[0] == 3 and arr.dtype == np.uint8
+    sink.log_figure("fig", fig, step=0)
+    plt.close(fig)
+    sink.flush(); sink.close()
+    if HAVE_TENSORBOARD:
+        assert any((tmp_path / "tb").iterdir())
