@@ -190,6 +190,109 @@ def build_train_step(
     return train_step
 
 
+def build_fused_round(
+    config: Config,
+    gen: Generator,
+    critic: Critic,
+    with_metrics: bool = True,
+) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
+    """SURVEY §7 fast path (b): one fused round = ``critic_iterations``
+    critic updates on distinct minibatches + exactly one generator update.
+
+    The parity path (:func:`build_train_step`) replicates the reference's
+    ``num_steps % 5`` schedule with a ``lax.cond``; this variant is the
+    textbook WGAN-GP inner loop (Gulrajani et al.) as one compiled program:
+    a ``lax.scan`` over the n_critic minibatches, then the generator step.
+    Inputs carry a leading n_critic axis: coarse (n, B, h, w, C),
+    fine (n, B, H, W, P); the generator trains on the last minibatch.
+    """
+    hp = config.hp
+    tx = make_optimizer(config)
+    g_apply = gen.apply
+    c_apply = critic.apply
+
+    def split_bands(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        lo = low_pass(x, hp.filter_size)
+        return lo, x - lo
+
+    def critic_loss_fn(c_params, fake_in, real_in, alpha):
+        c_real_mean = jnp.mean(c_apply(c_params, real_in))
+        c_fake_mean = jnp.mean(c_apply(c_params, fake_in))
+        gp = gradient_penalty(c_apply, c_params, real_in, fake_in, alpha)
+        return c_fake_mean - c_real_mean + hp.effective_gp_weight * gp, (
+            c_real_mean, c_fake_mean,
+        )
+
+    def gen_loss_fn(g_params, c_params, coarse, fine):
+        fake = g_apply(g_params, coarse)
+        if hp.freq_sep:
+            fake_low, fake_high = split_bands(fake)
+            real_low, _ = split_bands(fine)
+            return -jnp.mean(c_apply(c_params, fake_high)) * hp.gamma + (
+                hp.content_lambda * content_loss(fake_low, real_low)
+            )
+        return -jnp.mean(c_apply(c_params, fake)) * hp.gamma + (
+            hp.content_lambda * content_loss(fake, fine)
+        )
+
+    def fused_round(
+        state: GANTrainState, coarse_n: jax.Array, fine_n: jax.Array, rng: jax.Array
+    ) -> Tuple[GANTrainState, Metrics]:
+        def critic_body(carry, batch):
+            c_params, c_opt_state, step = carry
+            coarse, fine = batch
+            alpha = jax.random.uniform(
+                jax.random.fold_in(rng, step), (fine.shape[0], 1, 1, 1), jnp.float32
+            )
+            fake = lax.stop_gradient(g_apply(state.g_params, coarse))
+            if hp.freq_sep:
+                _, fake_c = split_bands(fake)
+                _, real_c = split_bands(fine)
+            else:
+                fake_c, real_c = fake, fine
+            (c_loss, (c_real, c_fake)), grads = jax.value_and_grad(
+                critic_loss_fn, has_aux=True
+            )(c_params, fake_c, real_c, alpha)
+            updates, c_opt_state = tx.update(grads, c_opt_state, c_params)
+            c_params = optax.apply_updates(c_params, updates)
+            return (c_params, c_opt_state, step + 1), (c_loss, c_real, c_fake)
+
+        (c_params, c_opt_state, step), (c_losses, c_reals, c_fakes) = lax.scan(
+            critic_body,
+            (state.c_params, state.c_opt_state, state.step),
+            (coarse_n, fine_n),
+        )
+
+        g_coarse, g_fine = coarse_n[-1], fine_n[-1]
+        g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
+            state.g_params, c_params, g_coarse, g_fine
+        )
+        g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            step=step, g_params=g_params, c_params=c_params,
+            g_opt_state=g_opt_state, c_opt_state=c_opt_state,
+        )
+        metrics: Metrics = {
+            "critic_loss": jnp.mean(c_losses),
+            "gen_loss": g_loss,
+            "Wass": wass_loss(jnp.mean(c_reals), jnp.mean(c_fakes)),
+        }
+        if with_metrics:
+            fake_m = g_apply(g_params, g_coarse)
+            for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
+                metrics[name] = fn(g_fine, fake_m)
+            if "Wass" in hp.metrics_to_calculate:
+                metrics["Wass"] = wass_loss(
+                    jnp.mean(c_apply(c_params, g_fine)),
+                    jnp.mean(c_apply(c_params, fake_m)),
+                )
+        return new_state, metrics
+
+    return fused_round
+
+
 def build_eval_metrics(
     config: Config, gen: Generator, critic: Critic
 ) -> Callable[[GANTrainState, jax.Array, jax.Array], Metrics]:

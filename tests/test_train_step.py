@@ -181,3 +181,27 @@ def test_training_reduces_content_loss():
         s, _ = step_fn(s, coarse, fine, jax.random.PRNGKey(9))
     after = l1(s)
     assert after < before
+
+
+def test_fused_round_runs_and_matches_schedule():
+    """build_fused_round: n_critic critic updates on distinct minibatches +
+    one generator update per call (SURVEY §7 fast path b)."""
+    from downgan_tpu.training.wgan import build_fused_round
+
+    config = small_config()
+    n = config.hp.critic_iterations
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    round_fn = jax.jit(build_fused_round(config, gen, critic, with_metrics=False))
+    coarse_n = jax.random.normal(jax.random.PRNGKey(1), (n, 4, 16, 16, 7))
+    fine_n = jax.random.normal(jax.random.PRNGKey(2), (n, 4, 128, 128, 2))
+    new_state, metrics = round_fn(state, coarse_n, fine_n, jax.random.PRNGKey(3))
+    assert int(new_state.step) == n
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert np.isfinite(float(metrics["gen_loss"]))
+    # both networks actually updated
+    for old, new in ((state.g_params, new_state.g_params),
+                     (state.c_params, new_state.c_params)):
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(old)[0]), np.asarray(jax.tree.leaves(new)[0])
+        )

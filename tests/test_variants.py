@@ -143,3 +143,18 @@ def test_tensorboard_sink(tmp_path):
     sink.flush(); sink.close()
     if HAVE_TENSORBOARD:
         assert any((tmp_path / "tb").iterdir())
+
+
+def test_bfloat16_step_stays_finite():
+    """bf16 compute path (verify-skill probe): one full step, finite losses."""
+    config = tiny_config(compute_dtype="bfloat16")
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+    new_state, metrics = step(state, coarse, fine, jax.random.PRNGKey(3))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for leaf in jax.tree.leaves(new_state.g_params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
