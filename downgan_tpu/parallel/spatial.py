@@ -1,0 +1,127 @@
+"""Spatial parallelism: halo-exchange convs + tiled full-domain inference.
+
+SURVEY §2/§5: the reference's answer to large spatial extent is fixed
+regional crops — it can never process a field bigger than one patch. The
+TPU-native answer ("long-context analogue") has two parts:
+
+* **Halo-exchange sharded convolution** — fields sharded along the lat
+  (H) axis of a mesh axis; each 3x3 conv exchanges one-row halos with its
+  mesh neighbours over ICI (``lax.ppermute``) and computes VALID locally.
+  Exact: matches the unsharded conv bit-for-bit on the CPU test mesh.
+  Building block for spatially-sharded model evaluation.
+
+* **Overlap-tile inference** — run the full generator over row bands with
+  an overlap margin and keep interior rows. Works on any domain size with
+  any batch of weights, at the cost of approximation near band seams
+  (the RRDB receptive field is unbounded in theory; in practice a
+  16-coarse-row overlap makes seams numerically invisible — tested).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from downgan_tpu.config.config import Config
+
+
+def halo_exchange(x: jax.Array, axis_name: str, halo: int = 1) -> jax.Array:
+    """Append ``halo`` rows from the up/down mesh neighbours along axis 1.
+
+    x: local block (B, H_loc, W, C) inside a ``shard_map`` over
+    ``axis_name``. Edge devices get zero rows (SAME-conv zero padding).
+    Returns (B, H_loc + 2*halo, W, C).
+    """
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+
+    top_rows = x[:, :halo]  # my top rows -> neighbour above wants them
+    bot_rows = x[:, -halo:]
+
+    # receive the block above's bottom rows / the block below's top rows
+    from_above = lax.ppermute(bot_rows, axis_name, [(i, i + 1) for i in range(n - 1)])
+    from_below = lax.ppermute(top_rows, axis_name, [(i + 1, i) for i in range(n - 1)])
+
+    zeros = jnp.zeros_like(top_rows)
+    from_above = jnp.where(idx == 0, zeros, from_above)
+    from_below = jnp.where(idx == n - 1, zeros, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=1)
+
+
+def sharded_conv3x3(
+    x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array], axis_name: str
+) -> jax.Array:
+    """3x3 SAME conv on an H-sharded NHWC block: one-row halo exchange over
+    ICI, then VALID conv locally (W padded locally). Shape-preserving."""
+    xh = halo_exchange(x, axis_name, halo=1)
+    xh = jnp.pad(xh, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    dn = lax.conv_dimension_numbers(xh.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        xh, kernel, window_strides=(1, 1), padding="VALID", dimension_numbers=dn
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def make_sharded_conv(mesh: Mesh, axis_name: str = "spatial"):
+    """shard_map-wrapped conv: (B, H, W, C) H-sharded over ``axis_name``."""
+    spec = P(None, axis_name, None, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, P(), P()),
+        out_specs=spec,
+    )
+    def conv(x, kernel, bias):
+        return sharded_conv3x3(x, kernel, bias, axis_name)
+
+    return conv
+
+
+def tiled_sr_inference(
+    config: Config,
+    g_params,
+    coarse: np.ndarray,
+    tile_rows: int = 16,
+    overlap: int = 8,
+) -> np.ndarray:
+    """Full-domain super-resolution by overlap-tiling the lat axis.
+
+    ``coarse``: (B, H, W, C) with H arbitrary (e.g. a whole 432-row ERA
+    grid, vs the model's 16-row training patches). Each band of
+    ``tile_rows`` rows is evaluated with ``overlap`` extra rows of context
+    on each side; only the interior fine rows are kept. One compiled
+    program serves every band (fixed band height; edge bands are padded).
+    """
+    from downgan_tpu.training.state import make_models
+
+    gen, _ = make_models(config)
+    fwd = jax.jit(gen.apply)
+    sf = config.scale_factor
+    b, h, w, c = coarse.shape
+    band = tile_rows + 2 * overlap
+
+    if h < band:
+        raise ValueError(f"domain height {h} smaller than band {band}; "
+                         "reduce tile_rows/overlap or run the field whole")
+
+    out = np.zeros((b, h * sf, w * sf, config.n_predictands), np.float32)
+    for start in range(0, h, tile_rows):
+        # Slide the band fully inside the domain (no synthetic padding):
+        # at the edges the "overlap" simply grows inward, so the band's own
+        # boundary coincides with the true domain boundary and edge rows
+        # see exactly the context the whole-field evaluation sees.
+        lo = min(max(start - overlap, 0), h - band)
+        block = coarse[:, lo : lo + band]
+        fine = np.asarray(fwd(g_params, jnp.asarray(block, jnp.float32)))
+        keep_lo = (start - lo) * sf
+        n_rows = min(tile_rows, h - start) * sf
+        out[:, start * sf : start * sf + n_rows] = fine[:, keep_lo : keep_lo + n_rows]
+    return out
