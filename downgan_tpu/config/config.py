@@ -114,6 +114,13 @@ class HyperParams:
     freq_sep: bool = False
     filter_size: int = 5
 
+    # Optional physics-regularization terms on the generator objective.
+    # The reference ships divergence/vorticity losses (losses.py:119-193)
+    # without wiring them into a trainer; here they are first-class weights
+    # (0.0 = off, the reference-parity default).
+    divergence_lambda: float = 0.0
+    vorticity_lambda: float = 0.0
+
     # Reference-quirk & semantics flags (new; the reference hard-codes these
     # behaviors implicitly).
     double_gp_lambda: bool = True

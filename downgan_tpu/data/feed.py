@@ -1,0 +1,69 @@
+"""Host -> device double-buffered batch feed.
+
+SURVEY §7 data layer: the florida patch set fits HBM (device-resident
+``DeviceDataset`` is the fast path, matching the reference's
+whole-set-on-GPU residency), but bigger regions don't. This feed streams
+batches from host memory with the next batch's transfer overlapped
+against the current step's compute: JAX device transfers are async, so
+enqueueing ``device_put`` for batch k+1 before consuming batch k gives a
+two-deep pipeline without threads.
+
+The reference has no equivalent (it asserts everything onto the GPU,
+``DoWnGAN/GAN/stage.py:28-31``).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+class HostDataset:
+    """Paired (coarse, fine) arrays resident in host RAM, NHWC."""
+
+    def __init__(self, coarse: np.ndarray, fine: np.ndarray):
+        assert coarse.shape[0] == fine.shape[0]
+        self.coarse = np.ascontiguousarray(coarse, dtype=np.float32)
+        self.fine = np.ascontiguousarray(fine, dtype=np.float32)
+
+    def __len__(self) -> int:
+        return int(self.coarse.shape[0])
+
+    def epoch_perm(self, rng: np.random.Generator, batch_size: int,
+                   shuffle: bool = True) -> np.ndarray:
+        n = len(self)
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        n_steps = n // batch_size
+        return idx[: n_steps * batch_size].reshape(n_steps, batch_size)
+
+
+def prefetch_batches(
+    dataset: HostDataset,
+    perm: np.ndarray,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    prefetch: int = 2,
+) -> Iterator[Tuple[jax.Array, jax.Array]]:
+    """Yield device-resident (coarse, fine) batches for one epoch with
+    ``prefetch`` transfers in flight ahead of the consumer."""
+
+    def put(idx: np.ndarray) -> Tuple[jax.Array, jax.Array]:
+        c = dataset.coarse[idx]
+        f = dataset.fine[idx]
+        if sharding is not None:
+            return jax.device_put(c, sharding), jax.device_put(f, sharding)
+        return jax.device_put(c), jax.device_put(f)
+
+    buf = []
+    it = iter(perm)
+    try:
+        for _ in range(prefetch):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    for idx in it:
+        out = buf.pop(0)
+        buf.append(put(idx))  # enqueue next transfer before yielding current
+        yield out
+    while buf:
+        yield buf.pop(0)

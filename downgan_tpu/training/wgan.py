@@ -122,7 +122,17 @@ def build_train_step(
         else:
             adv = -jnp.mean(c_apply(c_params, fake)) * hp.gamma
             content = hp.content_lambda * content_loss(fake, fine)
-        return adv + content
+        loss = adv + content
+        # optional physics regularizers (off at parity defaults)
+        if hp.divergence_lambda:
+            from downgan_tpu.ops.losses import divergence_loss
+
+            loss = loss + hp.divergence_lambda * divergence_loss(fine, fake)
+        if hp.vorticity_lambda:
+            from downgan_tpu.ops.losses import vorticity_loss
+
+            loss = loss + hp.vorticity_lambda * vorticity_loss(fine, fake)
+        return loss
 
     def train_step(
         state: GANTrainState, coarse: jax.Array, fine: jax.Array, rng: jax.Array

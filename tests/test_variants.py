@@ -158,3 +158,36 @@ def test_bfloat16_step_stays_finite():
         assert np.isfinite(float(v)), k
     for leaf in jax.tree.leaves(new_state.g_params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_physics_regularized_generator_loss():
+    """divergence/vorticity lambdas change the G update when enabled."""
+    rng = jax.random.PRNGKey(0)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+    outs = {}
+    for lam in (0.0, 1.0):
+        config = tiny_config(divergence_lambda=lam, vorticity_lambda=lam,
+                             critic_iterations=1)
+        gen, critic = make_models(config)
+        state = create_state(config, jax.random.PRNGKey(0))
+        step = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+        new_state, metrics = step(state, coarse, fine, rng)
+        assert np.isfinite(float(metrics["gen_loss"]))
+        outs[lam] = jax.tree.leaves(new_state.g_params)[0]
+    assert not np.allclose(np.asarray(outs[0.0]), np.asarray(outs[1.0]))
+
+
+def test_prefetch_feed_covers_epoch_in_order():
+    from downgan_tpu.data.feed import HostDataset, prefetch_batches
+
+    n, bs = 20, 4
+    coarse = np.arange(n, dtype=np.float32)[:, None, None, None] * np.ones((n, 2, 2, 1), np.float32)
+    fine = coarse + 100.0
+    ds = HostDataset(coarse, fine)
+    perm = ds.epoch_perm(np.random.default_rng(0), bs, shuffle=False)
+    seen = []
+    for c, f in prefetch_batches(ds, perm, prefetch=3):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(c) + 100.0)
+        seen.extend(np.asarray(c)[:, 0, 0, 0].astype(int).tolist())
+    assert seen == list(range(20))
