@@ -74,26 +74,17 @@ def gradient_penalty(
     return jnp.mean(jnp.square(norms - 1.0))
 
 
-def build_train_step(
-    config: Config,
-    gen: Generator,
-    critic: Critic,
-    with_metrics: bool = True,
-) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
-    """Builds the pure (un-jitted) WGAN-GP train step.
+def make_loss_fns(config: Config, gen: Generator, critic: Critic):
+    """Shared loss builders for both step variants.
 
-    Step semantics per batch (parity with ``wasserstein.py:120-148``):
-      1. critic update (always): loss = E[C(fake)] - E[C(real)] + w_gp * GP
-      2. generator update iff step % critic_iterations == 0:
-         loss = -gamma * E[C(fake)] + content_lambda * L1(fake, fine)
-      3. metric pass with the *post-update* params (MAE/MSE/MSSSIM/Wass),
-         accumulated on device.
-    In freq_sep mode the critic sees high-pass residuals and the content
-    loss applies to the low-pass components (``wasserstein_fs.py:37-88``).
+    Returns ``(split_bands, critic_loss_fn, gen_loss_fn)``:
+      * critic loss: E[C(fake)] - E[C(real)] + w_gp * GP (wasserstein.py:40-52);
+      * generator loss: -gamma * E[C(fake)] + content_lambda * L1
+        (wasserstein.py:74-78), in freq-sep mode split into high-pass
+        adversarial / low-pass content bands (wasserstein_fs.py:37-88),
+        plus the optional physics regularizers.
     """
     hp = config.hp
-    tx = make_optimizer(config)
-
     g_apply = gen.apply
     c_apply = critic.apply
 
@@ -133,6 +124,33 @@ def build_train_step(
 
             loss = loss + hp.vorticity_lambda * vorticity_loss(fine, fake)
         return loss
+
+    return split_bands, critic_loss_fn, gen_loss_fn
+
+
+def build_train_step(
+    config: Config,
+    gen: Generator,
+    critic: Critic,
+    with_metrics: bool = True,
+) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
+    """Builds the pure (un-jitted) WGAN-GP train step.
+
+    Step semantics per batch (parity with ``wasserstein.py:120-148``):
+      1. critic update (always): loss = E[C(fake)] - E[C(real)] + w_gp * GP
+      2. generator update iff step % critic_iterations == 0:
+         loss = -gamma * E[C(fake)] + content_lambda * L1(fake, fine)
+      3. metric pass with the *post-update* params (MAE/MSE/MSSSIM/Wass),
+         accumulated on device.
+    In freq_sep mode the critic sees high-pass residuals and the content
+    loss applies to the low-pass components (``wasserstein_fs.py:37-88``).
+    """
+    hp = config.hp
+    tx = make_optimizer(config)
+
+    g_apply = gen.apply
+    c_apply = critic.apply
+    split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(config, gen, critic)
 
     def train_step(
         state: GANTrainState, coarse: jax.Array, fine: jax.Array, rng: jax.Array
@@ -220,30 +238,7 @@ def build_fused_round(
     tx = make_optimizer(config)
     g_apply = gen.apply
     c_apply = critic.apply
-
-    def split_bands(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        lo = low_pass(x, hp.filter_size)
-        return lo, x - lo
-
-    def critic_loss_fn(c_params, fake_in, real_in, alpha):
-        c_real_mean = jnp.mean(c_apply(c_params, real_in))
-        c_fake_mean = jnp.mean(c_apply(c_params, fake_in))
-        gp = gradient_penalty(c_apply, c_params, real_in, fake_in, alpha)
-        return c_fake_mean - c_real_mean + hp.effective_gp_weight * gp, (
-            c_real_mean, c_fake_mean,
-        )
-
-    def gen_loss_fn(g_params, c_params, coarse, fine):
-        fake = g_apply(g_params, coarse)
-        if hp.freq_sep:
-            fake_low, fake_high = split_bands(fake)
-            real_low, _ = split_bands(fine)
-            return -jnp.mean(c_apply(c_params, fake_high)) * hp.gamma + (
-                hp.content_lambda * content_loss(fake_low, real_low)
-            )
-        return -jnp.mean(c_apply(c_params, fake)) * hp.gamma + (
-            hp.content_lambda * content_loss(fake, fine)
-        )
+    split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(config, gen, critic)
 
     def fused_round(
         state: GANTrainState, coarse_n: jax.Array, fine_n: jax.Array, rng: jax.Array
