@@ -40,6 +40,21 @@ def _decode_cf(raw: np.ndarray, attrs: Dict[str, object]) -> np.ndarray:
     if scale is None and offset is None and fill is None:
         return raw
 
+    # Fast path: the common ERA packing (int16/int8 payload, scalar attrs)
+    # decodes through the native C++ kernel (data/native.py; numpy fallback
+    # inside).
+    if raw.dtype in (np.int16, np.int8):
+        fill_s = np.asarray(fill).ravel() if fill is not None else None
+        if fill_s is None or fill_s.size == 1:
+            from downgan_tpu.data import native
+
+            return native.cf_unpack(
+                raw,
+                float(np.asarray(scale).ravel()[0]) if scale is not None else 1.0,
+                float(np.asarray(offset).ravel()[0]) if offset is not None else 0.0,
+                int(fill_s[0]) if fill_s is not None else None,
+            )
+
     out = raw.astype(np.float64 if raw.dtype.kind in "iu" else raw.dtype)
     if fill is not None:
         fill_arr = np.asarray(fill).ravel()

@@ -37,7 +37,16 @@ def crop_array(arr: np.ndarray, config: Config, scale_factor: int) -> np.ndarray
 
 
 def standardize(arr: np.ndarray) -> Tuple[np.ndarray, float, float]:
-    """Z-score over all elements, NaN-skipping (reference :195-201)."""
+    """Z-score over all elements, NaN-skipping (reference :195-201).
+
+    float32 arrays take the native C++ single-pass path
+    (``data/native.py``); anything else falls back to numpy.
+    """
+    if arr.dtype == np.float32 and arr.flags.c_contiguous:
+        from downgan_tpu.data import native
+
+        mean, std, _ = native.nan_moments(arr)
+        return native.standardize_inplace(arr.copy(), mean, std), mean, std
     mean = float(np.nanmean(arr))
     std = float(np.nanstd(arr))
     return (arr - mean) / std, mean, std

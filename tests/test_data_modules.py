@@ -209,3 +209,33 @@ def test_write_generated_netcdf_roundtrip(tmp_path):
         u10 = f.variable("u10")
         np.testing.assert_allclose(u10.data, fields[..., 0], rtol=1e-6)
         assert u10.dims == ["time", "lat", "lon"]
+
+
+def test_packed_int16_cf_decode(tmp_path):
+    """CF packed-data decoding: int16 payload with scale_factor/add_offset
+    and _FillValue -> float with NaNs (the reference's ERA fixture format)."""
+    import h5py
+
+    from downgan_tpu.data.netcdf import NetCDFFile
+
+    path = str(tmp_path / "packed.nc")
+    rng = np.random.default_rng(0)
+    truth = rng.uniform(-20.0, 20.0, size=(4, 6, 5)).astype(np.float64)
+    scale, offset = 0.01, 1.5
+    packed = np.round((truth - offset) / scale).astype(np.int16)
+    packed[0, 0, 0] = -32767  # fill
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("u10", data=packed)
+        d.attrs["scale_factor"] = np.float64(scale)
+        d.attrs["add_offset"] = np.float64(offset)
+        d.attrs["_FillValue"] = np.int16(-32767)
+
+    with NetCDFFile(path) as f:
+        var = f.variable("u10")
+    assert np.isnan(var.data[0, 0, 0])
+    mask = ~np.isnan(var.data)
+    np.testing.assert_allclose(var.data[mask].reshape(-1),
+                               (packed.astype(np.float64) * scale + offset)[mask].reshape(-1),
+                               rtol=1e-6)  # decode emits float32
+    # quantization-level agreement with the original field
+    np.testing.assert_allclose(var.data[1:], truth[1:], atol=scale)
