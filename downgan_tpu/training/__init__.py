@@ -6,3 +6,4 @@ from downgan_tpu.training.wgan import (  # noqa: F401
     gradient_penalty,
 )
 from downgan_tpu.training.trainer import Trainer  # noqa: F401
+from downgan_tpu.training.wgan import build_eval_scan, build_fused_round, make_loss_fns  # noqa: F401

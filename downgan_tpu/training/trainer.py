@@ -27,7 +27,12 @@ import numpy as np
 from downgan_tpu.config.config import Config
 from downgan_tpu.data.dataset import DeviceDataset
 from downgan_tpu.training.state import GANTrainState, create_state, make_models
-from downgan_tpu.training.wgan import build_epoch_scan, build_eval_metrics, build_train_step
+from downgan_tpu.training.wgan import (
+    build_epoch_scan,
+    build_eval_metrics,
+    build_eval_scan,
+    build_train_step,
+)
 from downgan_tpu.utils.plots import gen_grid_images
 
 
@@ -89,6 +94,7 @@ class Trainer:
                 build_train_step(config, self.gen, self.critic), donate_argnums=(0,)
             )
         self._eval_fn = jax.jit(build_eval_metrics(config, self.gen, self.critic))
+        self._eval_scan = jax.jit(build_eval_scan(config, self.gen, self.critic))
         self._gen_fwd = jax.jit(lambda params, x: self.gen.apply(params, x))
 
     # -- resume --------------------------------------------------------
@@ -127,6 +133,11 @@ class Trainer:
         assert self.test_ds is not None
         bs = self.config.hp.batch_size
         perm = self.test_ds.epoch_perm(self._np_rng, bs, shuffle=False)
+        if self.config.hp.fused_epoch:
+            stacked = self._eval_scan(
+                self.state, self.test_ds.coarse, self.test_ds.fine, jnp.asarray(perm)
+            )
+            return {k: float(jnp.mean(v)) for k, v in stacked.items()}
         sums: Dict[str, float] = {}
         for idx in perm:
             coarse = jnp.take(self.test_ds.coarse, jnp.asarray(idx), axis=0)

@@ -320,6 +320,32 @@ def build_eval_metrics(
     return eval_metrics
 
 
+def build_eval_scan(
+    config: Config, gen: Generator, critic: Critic
+) -> Callable[..., Metrics]:
+    """Whole-test-set metric pass as one compiled program (the reference
+    iterates batches on the host, ``wasserstein.py:157-169``): lax.scan of
+    :func:`build_eval_metrics` over a (n_steps, batch) index matrix into
+    the device-resident test set, returning per-batch metric stacks."""
+    eval_fn = build_eval_metrics(config, gen, critic)
+
+    def eval_scan(
+        state: GANTrainState,
+        coarse_all: jax.Array,
+        fine_all: jax.Array,
+        perm: jax.Array,
+    ) -> Metrics:
+        def body(carry, idx):
+            coarse = jnp.take(coarse_all, idx, axis=0)
+            fine = jnp.take(fine_all, idx, axis=0)
+            return carry, eval_fn(state, coarse, fine)
+
+        _, stacked = lax.scan(body, None, perm)
+        return stacked
+
+    return eval_scan
+
+
 def build_epoch_scan(
     config: Config,
     gen: Generator,

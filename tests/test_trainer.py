@@ -101,3 +101,18 @@ def test_trainer_unfused_path_matches_schedule(tmp_path):
     trainer = Trainer(config, train_ds, None, verbose=False)
     trainer.train(epochs=1)
     assert int(trainer.state.step) == len(train_ds) // config.hp.batch_size
+
+
+def test_eval_scan_matches_loop(tmp_path):
+    """Fused test pass == per-batch loop, same metric means."""
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+    t_fused = Trainer(config, train_ds, test_ds, verbose=False)
+    loop_cfg = tiny_config(fused_epoch=False)
+    t_loop = Trainer(loop_cfg, train_ds, test_ds, verbose=False)
+    t_loop.state = t_fused.state  # identical params
+    m_fused = t_fused._run_test_pass()
+    m_loop = t_loop._run_test_pass()
+    assert set(m_fused) == set(m_loop)
+    for k in m_fused:
+        assert m_fused[k] == pytest.approx(m_loop[k], rel=1e-4), k
