@@ -50,6 +50,9 @@ def cli() -> None:
 @click.option("--batch-size", type=int, default=None)
 @click.option("--lr", type=float, default=None)
 @click.option("--compute-dtype", type=click.Choice(["float32", "bfloat16"]), default=None)
+@click.option("--schedule", type=click.Choice(["reference", "fused"]), default=None,
+              help="Generator-update schedule: reference parity (step %% n_critic) "
+              "or fused n_critic-round fast path.")
 @click.option("--synthetic", is_flag=True, help="Train on the synthetic dataset "
               "(no NetCDF data needed; test/benchmark mode).")
 @click.option("--samples", type=int, default=512, help="Synthetic sample count.")
@@ -64,9 +67,9 @@ def cli() -> None:
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
 @click.option("--save-every", type=int, default=1)
 @click.option("--plot-every", type=int, default=1)
-def train(config_path, region, epochs, batch_size, lr, compute_dtype, synthetic,
-          samples, experiment, run_name, tracking_root, checkpoint_dir, resume,
-          interactive, mesh, save_every, plot_every) -> None:
+def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
+          synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
+          resume, interactive, mesh, save_every, plot_every) -> None:
     """Train the WGAN-GP super-resolution model."""
     import jax
 
@@ -78,7 +81,7 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, synthetic,
 
     config = _load_config(
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, schedule=schedule,
     )
 
     if synthetic:

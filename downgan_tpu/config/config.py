@@ -129,6 +129,11 @@ class HyperParams:
     # TPU-native knobs (no reference equivalent).
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     fused_epoch: bool = True  # lax.scan over the epoch's steps
+    # "reference": replicate the reference's step%n_critic generator
+    # schedule exactly (wasserstein.py:136). "fused": textbook WGAN-GP
+    # rounds (n_critic critic minibatches + 1 G update per round) via
+    # build_fused_round — SURVEY §7 fast path (b).
+    schedule: str = "reference"
     # Fast path: compute per-batch metrics from the fake already generated
     # for the critic update instead of re-running the post-update generator
     # (the reference regenerates: mlflow_epoch.py:54). Saves one full G

@@ -34,7 +34,15 @@ from downgan_tpu.models.critic import Critic
 from downgan_tpu.models.generator import Generator
 from downgan_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 from downgan_tpu.training.state import GANTrainState
-from downgan_tpu.training.wgan import Metrics, build_train_step
+from downgan_tpu.training.wgan import Metrics, build_fused_round, build_train_step
+
+
+def _step_builder(config: Config):
+    """Reference schedule vs fused n-critic rounds (hp.schedule). Fused
+    inputs carry a leading n_critic axis, so the batch axis moves to 1."""
+    if config.hp.schedule == "fused":
+        return build_fused_round, 5, 1
+    return build_train_step, 4, 0
 
 
 def build_dp_train_step(
@@ -46,9 +54,10 @@ def build_dp_train_step(
     donate_state: bool = True,
 ) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
     """Jit the fused train step with DP shardings over ``mesh``."""
-    step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
+    builder, ndim, batch_axis = _step_builder(config)
+    step_fn = builder(config, gen, critic, with_metrics=with_metrics)
     rep = replicated(mesh)
-    bat = batch_sharding(mesh)
+    bat = batch_sharding(mesh, ndim=ndim, batch_axis=batch_axis)
     return jax.jit(
         step_fn,
         in_shardings=(rep, bat, bat, rep),
@@ -72,8 +81,11 @@ def build_dp_epoch_scan(
     locally (slicing a replicated array is a local operation) and the
     sharding constraint splits it over the data axis for the step.
     """
-    train_step = build_train_step(config, gen, critic, with_metrics=with_metrics)
-    bat_spec = P(DATA_AXIS, None, None, None)
+    builder, ndim, batch_axis = _step_builder(config)
+    train_step = builder(config, gen, critic, with_metrics=with_metrics)
+    spec = [None] * ndim
+    spec[batch_axis] = DATA_AXIS
+    bat_spec = P(*spec)
 
     def epoch_fn(
         state: GANTrainState,

@@ -44,9 +44,13 @@ def make_mesh(
     return Mesh(dev_array, tuple(axes))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) axis over ``axis``; rest replicated."""
-    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+def batch_sharding(
+    mesh: Mesh, ndim: int = 4, axis: str = DATA_AXIS, batch_axis: int = 0
+) -> NamedSharding:
+    """Shard the batch axis (at position ``batch_axis``) over ``axis``."""
+    spec = [None] * ndim
+    spec[batch_axis] = axis
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

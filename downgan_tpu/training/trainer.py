@@ -87,11 +87,16 @@ class Trainer:
             self._epoch_fn = build_dp_epoch_scan(config, self.gen, self.critic, mesh)
             self._step_fn = build_dp_train_step(config, self.gen, self.critic, mesh)
         else:
+            from downgan_tpu.training.wgan import build_fused_round
+
+            step_builder = (
+                build_fused_round if config.hp.schedule == "fused" else build_train_step
+            )
             self._epoch_fn = jax.jit(
                 build_epoch_scan(config, self.gen, self.critic), donate_argnums=(0,)
             )
             self._step_fn = jax.jit(
-                build_train_step(config, self.gen, self.critic), donate_argnums=(0,)
+                step_builder(config, self.gen, self.critic), donate_argnums=(0,)
             )
         self._eval_fn = jax.jit(build_eval_metrics(config, self.gen, self.critic))
         self._eval_scan = jax.jit(build_eval_scan(config, self.gen, self.critic))
@@ -111,8 +116,19 @@ class Trainer:
 
     # -- epoch internals ----------------------------------------------
     def _run_train_epoch(self, rng: jax.Array) -> Dict[str, float]:
-        bs = self.config.hp.batch_size
-        perm = jnp.asarray(self.train_ds.epoch_perm(self._np_rng, bs))
+        hp = self.config.hp
+        bs = hp.batch_size
+        perm_np = self.train_ds.epoch_perm(self._np_rng, bs)
+        if hp.schedule == "fused":
+            n = hp.critic_iterations
+            rounds = perm_np.shape[0] // n
+            if rounds == 0:
+                raise ValueError(
+                    f"dataset too small: {perm_np.shape[0]} steps/epoch < "
+                    f"critic_iterations={n} needed per fused round"
+                )
+            perm_np = perm_np[: rounds * n].reshape(rounds, n, bs)
+        perm = jnp.asarray(perm_np)
         if self.config.hp.fused_epoch:
             self.state, stacked = self._epoch_fn(
                 self.state, self.train_ds.coarse, self.train_ds.fine, perm, rng

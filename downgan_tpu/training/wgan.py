@@ -356,12 +356,16 @@ def build_epoch_scan(
     permutation indices into the device-resident dataset.
 
     ``perm``: (n_steps, batch) int32 indices into axis 0 of coarse_all /
-    fine_all (drop-last semantics — SURVEY §7 'static shapes'). Batches are
-    gathered on device inside the scan body, so the host never touches the
-    data during an epoch. Metrics come back stacked (n_steps,) per key; the
-    epoch mean is one reduction at the end.
+    fine_all (drop-last semantics — SURVEY §7 'static shapes'), or
+    (n_rounds, critic_iterations, batch) under the "fused" schedule.
+    Batches are gathered on device inside the scan body, so the host never
+    touches the data during an epoch. Metrics come back stacked per scan
+    iteration; the epoch mean is one reduction at the end.
     """
-    train_step = build_train_step(config, gen, critic, with_metrics=with_metrics)
+    if config.hp.schedule == "fused":
+        step_fn = build_fused_round(config, gen, critic, with_metrics=with_metrics)
+    else:
+        step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
 
     def epoch_fn(
         state: GANTrainState,
@@ -373,7 +377,7 @@ def build_epoch_scan(
         def body(carry: GANTrainState, idx: jax.Array) -> Tuple[GANTrainState, Metrics]:
             coarse = jnp.take(coarse_all, idx, axis=0)
             fine = jnp.take(fine_all, idx, axis=0)
-            return train_step(carry, coarse, fine, rng)
+            return step_fn(carry, coarse, fine, rng)
 
         state, stacked = lax.scan(body, state, perm)
         return state, stacked

@@ -88,3 +88,24 @@ def test_batch_sharding_layout():
     # each device holds 16/8 = 2 rows
     shard = sharded.addressable_shards[0]
     assert shard.data.shape == (2, 4, 4, 2)
+
+
+def test_dp_fused_schedule_round():
+    """DP + fused schedule: the round's inputs shard on axis 1."""
+    config = tiny_config(batch=8).replace(
+        hp=tiny_config(batch=8).hp.__class__(
+            batch_size=8, critic_iterations=2, schedule="fused",
+            metrics_to_calculate=("MAE", "MSE", "Wass"),
+        )
+    )
+    gen, critic = make_models(config)
+    mesh = make_mesh()
+    dp = build_dp_train_step(config, gen, critic, mesh, with_metrics=False,
+                             donate_state=False)
+    state = replicate_state(mesh, create_state(config, jax.random.PRNGKey(0)))
+    rng_np = np.random.default_rng(0)
+    coarse = jnp.asarray(rng_np.standard_normal((2, 8, 8, 8, 7)), jnp.float32)
+    fine = jnp.asarray(rng_np.standard_normal((2, 8, 32, 32, 2)), jnp.float32)
+    new_state, metrics = dp(state, coarse, fine, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 2
+    assert np.isfinite(float(metrics["critic_loss"]))

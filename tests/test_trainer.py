@@ -116,3 +116,13 @@ def test_eval_scan_matches_loop(tmp_path):
     assert set(m_fused) == set(m_loop)
     for k in m_fused:
         assert m_fused[k] == pytest.approx(m_loop[k], rel=1e-4), k
+
+
+def test_trainer_fused_schedule(tmp_path):
+    """schedule='fused': each round = n_critic critic updates + 1 G update;
+    epoch of 8 batches with n_critic=4 -> 2 rounds -> 8 steps."""
+    config = tiny_config(critic_iterations=4, schedule="fused")
+    train_ds, test_ds = tiny_datasets(config, n=32, n_test=8)
+    trainer = Trainer(config, train_ds, test_ds, verbose=False)
+    trainer.train(epochs=1)
+    assert int(trainer.state.step) == 8
