@@ -74,7 +74,8 @@ def main() -> None:
         mesh, jax.sharding.PartitionSpec("data", None, None, None)
     )
     run = jax.jit(
-        run_steps, in_shardings=(rep, bat, bat, rep), out_shardings=(rep, rep)
+        run_steps, in_shardings=(rep, bat, bat, rep), out_shardings=(rep, rep),
+        donate_argnums=(0,),
     )
 
     # NOTE: sync by fetching a scalar output, NOT block_until_ready — the
