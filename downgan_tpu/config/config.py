@@ -134,6 +134,10 @@ class HyperParams:
     # rounds (n_critic critic minibatches + 1 G update per round) via
     # build_fused_round — SURVEY §7 fast path (b).
     schedule: str = "reference"
+    # Rematerialize RRDB activations in the generator backward pass
+    # (jax.checkpoint): trades ~1 extra trunk forward for O(depth) less
+    # activation memory — enables much larger batches/fields per chip.
+    remat: bool = False
     # Fast path: compute per-batch metrics from the fake already generated
     # for the critic update instead of re-running the post-update generator
     # (the reference regenerates: mlflow_epoch.py:54). Saves one full G

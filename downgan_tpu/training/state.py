@@ -43,6 +43,7 @@ def make_models(config: Config) -> Tuple[Generator, Critic]:
         num_res_blocks=config.num_res_blocks,
         num_upsample=config.num_upsample,
         dtype=dtype,
+        remat=config.hp.remat,
     )
     critic = Critic(base=config.filters, fine_size=config.fine_size, dtype=dtype)
     return gen, critic
