@@ -77,7 +77,6 @@ class Trainer:
         self.gen, self.critic = make_models(config)
         self.state: GANTrainState = create_state(config, jax.random.PRNGKey(config.seed))
         self.epoch = 0
-        self._np_rng = np.random.default_rng(config.seed)
 
         if mesh is not None:
             from downgan_tpu.parallel.dp import build_dp_epoch_scan, build_dp_train_step
@@ -109,16 +108,25 @@ class Trainer:
         if self.ckpt is None or self.ckpt.latest_step() is None:
             return False
         self.state = self.ckpt.restore(self.state)
-        self.epoch = int(self.ckpt.latest_step())
+        # Checkpoints are written AFTER an epoch completes, so training
+        # continues at the next one.
+        self.epoch = int(self.ckpt.latest_step()) + 1
         if self.verbose:
-            print(f"resumed from checkpoint at epoch {self.epoch}")
+            print(f"resumed from checkpoint of epoch {self.epoch - 1}; "
+                  f"continuing at epoch {self.epoch}")
         return True
 
     # -- epoch internals ----------------------------------------------
+    def _epoch_rng(self) -> np.random.Generator:
+        """Permutations are a pure function of (seed, epoch): training is
+        bit-deterministic, and resume reproduces the exact trajectory the
+        uninterrupted run would have taken (tested)."""
+        return np.random.default_rng((self.config.seed, self.epoch))
+
     def _run_train_epoch(self, rng: jax.Array) -> Dict[str, float]:
         hp = self.config.hp
         bs = hp.batch_size
-        perm_np = self.train_ds.epoch_perm(self._np_rng, bs)
+        perm_np = self.train_ds.epoch_perm(self._epoch_rng(), bs)
         if hp.schedule == "fused":
             n = hp.critic_iterations
             rounds = perm_np.shape[0] // n
@@ -148,7 +156,7 @@ class Trainer:
     def _run_test_pass(self) -> Dict[str, float]:
         assert self.test_ds is not None
         bs = self.config.hp.batch_size
-        perm = self.test_ds.epoch_perm(self._np_rng, bs, shuffle=False)
+        perm = self.test_ds.epoch_perm(self._epoch_rng(), bs, shuffle=False)
         if self.config.hp.fused_epoch:
             stacked = self._eval_scan(
                 self.state, self.test_ds.coarse, self.test_ds.fine, jnp.asarray(perm)

@@ -86,7 +86,7 @@ def test_trainer_resume(tmp_path):
     ckpt2 = CheckpointManager(str(tmp_path / "ck"))
     t2 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt2, verbose=False)
     assert t2.maybe_resume()
-    assert t2.epoch == 1
+    assert t2.epoch == 2  # epochs 0 and 1 are already trained
     np.testing.assert_array_equal(
         np.asarray(t2.state.step), np.asarray(steps_after_2)
     )
@@ -126,3 +126,28 @@ def test_trainer_fused_schedule(tmp_path):
     trainer = Trainer(config, train_ds, test_ds, verbose=False)
     trainer.train(epochs=1)
     assert int(trainer.state.step) == 8
+
+
+def test_resume_reproduces_exact_trajectory(tmp_path):
+    """Deterministic training: (train 3 epochs) == (train 2, checkpoint,
+    restore in a fresh Trainer, train 1 more) — bit-identical params."""
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+
+    t_full = Trainer(config, train_ds, test_ds, verbose=False)
+    t_full.train(epochs=3)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    t_a = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt, verbose=False)
+    t_a.train(epochs=2)
+    ckpt.wait(); ckpt.close()
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    t_b = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt2, verbose=False)
+    assert t_b.maybe_resume()
+    t_b.train(epochs=3)  # continues at epoch 2
+    ckpt2.close()
+
+    for a, b in zip(jax.tree.leaves(t_full.state.g_params),
+                    jax.tree.leaves(t_b.state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
