@@ -17,7 +17,8 @@ the BASELINE.json north-star framing (>=5x A100 on v5e-8).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Env knobs: BENCH_BATCH (64), BENCH_SCAN_STEPS (50), BENCH_REPS (5),
-BENCH_DTYPE (float32), BENCH_METRICS (1).
+BENCH_DTYPE (float32), BENCH_METRICS (1), BENCH_MODE (train|infer —
+infer measures generator-forward SR throughput in patches/sec).
 """
 from __future__ import annotations
 
@@ -33,7 +34,56 @@ from jax import lax
 A100_REFERENCE_STEPS_PER_SEC = 10.0
 
 
+def infer_main() -> None:
+    """Generator-forward (SISR inference) throughput, one chip."""
+    from downgan_tpu.runtime import setup_cache
+
+    setup_cache()
+    from downgan_tpu.config.config import Config, HyperParams
+    from downgan_tpu.training.state import create_state, make_models
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "50"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    config = Config(hp=HyperParams(batch_size=batch, compute_dtype=dtype))
+    gen, _ = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    coarse = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, 16, 16, 7)), jnp.float32
+    )
+
+    def run(x):
+        def body(c, _):
+            out = gen.apply(state.g_params, x + c * 1e-30)
+            return jnp.sum(out) * 1e-30, None
+        acc, _ = lax.scan(body, jnp.zeros(()), None, length=scan_steps)
+        return acc
+
+    r = jax.jit(run)
+    float(r(coarse))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(r(coarse))
+        times.append(time.perf_counter() - t0)
+    median = sorted(times)[len(times) // 2]
+    pps = scan_steps * batch / median
+    print(json.dumps({
+        "metric": f"sr_inference_patches_per_sec_b{batch}",
+        "value": round(pps, 1),
+        "unit": "patches/sec",
+        "vs_baseline": round(pps / 1000.0, 3),  # modeled 1k patches/s on A100
+        "n_chips": len(jax.devices()),
+        "dtype": dtype,
+    }))
+
+
 def main() -> None:
+    if os.environ.get("BENCH_MODE", "train") == "infer":
+        infer_main()
+        return
     from downgan_tpu.runtime import setup_cache
 
     setup_cache()
