@@ -45,13 +45,15 @@ class DenseResidualBlock(nn.Module):
     filters: int
     res_scale: float = 0.2
     dtype: Dtype = jnp.float32
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inputs = x
         out = x
         for i in range(5):
-            out = Conv3x3(self.filters, dtype=self.dtype, name=f"b{i + 1}")(inputs)
+            out = Conv3x3(self.filters, dtype=self.dtype, name=f"b{i + 1}",
+                          spatial_axis=self.spatial_axis)(inputs)
             if i < 4:
                 out = leaky_relu(out, _GEN_SLOPE)
             if i < 4:
@@ -68,12 +70,14 @@ class RRDB(nn.Module):
     filters: int
     res_scale: float = 0.2
     dtype: Dtype = jnp.float32
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         out = x
         for i in range(3):
-            out = DenseResidualBlock(self.filters, dtype=self.dtype, name=f"drb{i}")(out)
+            out = DenseResidualBlock(self.filters, dtype=self.dtype, name=f"drb{i}",
+                                     spatial_axis=self.spatial_axis)(out)
         return out * self.res_scale + x
 
 
@@ -93,28 +97,37 @@ class Generator(nn.Module):
     num_upsample: int = 3
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # mesh axis name for exact spatially-sharded evaluation (see
+    # parallel/spatial.py sharded_generator_apply); None = local conv.
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
-        out1 = Conv3x3(self.filters, dtype=self.dtype, name="conv1")(x)
+        out1 = Conv3x3(self.filters, dtype=self.dtype, name="conv1",
+                       spatial_axis=self.spatial_axis)(x)
 
         block = RRDB
         if self.remat:
             block = nn.remat(RRDB)
         out = out1
         for i in range(self.num_res_blocks):
-            out = block(self.filters, dtype=self.dtype, name=f"rrdb{i}")(out)
+            out = block(self.filters, dtype=self.dtype, name=f"rrdb{i}",
+                        spatial_axis=self.spatial_axis)(out)
 
-        out2 = Conv3x3(self.filters, dtype=self.dtype, name="conv2")(out)
+        out2 = Conv3x3(self.filters, dtype=self.dtype, name="conv2",
+                       spatial_axis=self.spatial_axis)(out)
         out = out1 + out2
 
         for i in range(self.num_upsample):
-            out = Conv3x3(self.filters * 4, dtype=self.dtype, name=f"up{i}")(out)
+            out = Conv3x3(self.filters * 4, dtype=self.dtype, name=f"up{i}",
+                          spatial_axis=self.spatial_axis)(out)
             out = leaky_relu(out, _GEN_SLOPE)
             out = pixel_shuffle(out, 2)
 
-        out = Conv3x3(self.filters, dtype=self.dtype, name="head1")(out)
+        out = Conv3x3(self.filters, dtype=self.dtype, name="head1",
+                      spatial_axis=self.spatial_axis)(out)
         out = leaky_relu(out, _GEN_SLOPE)
-        out = Conv3x3(self.n_predictands, dtype=self.dtype, name="head2")(out)
+        out = Conv3x3(self.n_predictands, dtype=self.dtype, name="head2",
+                      spatial_axis=self.spatial_axis)(out)
         return out.astype(jnp.float32)

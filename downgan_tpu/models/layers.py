@@ -52,21 +52,34 @@ class Conv3x3(nn.Module):
     Torch's Conv2d(stride=2, padding=1) pads (1,1) on both sides and floors;
     XLA's 'SAME' would pad (0,1) for even inputs, sampling different pixels.
     Explicit ((1,1),(1,1)) padding keeps the two numerically identical.
+
+    ``spatial_axis``: when set (and called inside a ``shard_map`` over that
+    mesh axis with the H dimension sharded), the H padding comes from a
+    one-row halo exchange with the neighbouring shards instead of zeros —
+    the sharded conv is then bit-identical to the unsharded one (zeros
+    still pad the true domain edges). Stride-2 requires an even local H.
     """
 
     features: int
     stride: int = 1
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    spatial_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cin = x.shape[-1]
+        h_pad = (1, 1)
+        if self.spatial_axis is not None:
+            from downgan_tpu.parallel.spatial import halo_exchange
+
+            x = halo_exchange(x, self.spatial_axis, halo=1)
+            h_pad = (0, 0)
         y = nn.Conv(
             features=self.features,
             kernel_size=(3, 3),
             strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)),
+            padding=(h_pad, (1, 1)),
             use_bias=self.use_bias,
             kernel_init=torch_conv_kernel_init(),
             bias_init=torch_conv_bias_init(9 * cin),

@@ -125,3 +125,34 @@ def tiled_sr_inference(
         n_rows = min(tile_rows, h - start) * sf
         out[:, start * sf : start * sf + n_rows] = fine[:, keep_lo : keep_lo + n_rows]
     return out
+
+
+def sharded_generator_apply(config: Config, mesh: Mesh, axis_name: str = "spatial"):
+    """Exact spatially-sharded generator evaluation.
+
+    Returns ``apply(params, coarse)`` where the coarse field's H axis is
+    sharded over ``axis_name`` and every conv in the generator exchanges
+    halos with its neighbours — bit-identical to the unsharded forward
+    (unlike :func:`tiled_sr_inference`, which approximates at seams), with
+    weights replicated and activations never gathered. This is the model-
+    parallel path for fields too large for one chip's HBM.
+    """
+    from downgan_tpu.models.generator import Generator
+
+    gen = Generator(
+        filters=config.filters,
+        n_predictands=config.n_predictands,
+        num_res_blocks=config.num_res_blocks,
+        num_upsample=config.num_upsample,
+        spatial_axis=axis_name,
+    )
+    spec = P(None, axis_name, None, None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=spec
+    )
+    def apply(params, coarse):
+        return gen.apply(params, coarse)
+
+    return apply
