@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from downgan_tpu.models.layers import (
     Conv3x3,
+    RowShardedDense,
     leaky_relu,
     torch_conv_bias_init,
     torch_dense_kernel_init,
@@ -43,6 +44,12 @@ class Critic(nn.Module):
     base: int = 16
     fine_size: int = 128
     dtype: Dtype = jnp.float32
+    # Exact spatially-sharded evaluation (see parallel/spatial.py): convs
+    # halo-exchange over this mesh axis; the classifier becomes a
+    # row-parallel matmul completed by a psum. Same parameter tree either
+    # way. Requires fine_size/16 divisible by n_spatial_shards.
+    spatial_axis: str | None = None
+    n_spatial_shards: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -58,18 +65,28 @@ class Critic(nn.Module):
             (8 * self.base, 2, False),
         ]
         for i, (feat, stride, bias) in enumerate(specs):
-            x = Conv3x3(feat, stride=stride, use_bias=bias, dtype=self.dtype, name=f"conv{i}")(x)
+            x = Conv3x3(feat, stride=stride, use_bias=bias, dtype=self.dtype,
+                        name=f"conv{i}", spatial_axis=self.spatial_axis)(x)
             x = leaky_relu(x, _CRITIC_SLOPE)
 
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(
-            100,
-            kernel_init=torch_dense_kernel_init(),
-            bias_init=torch_conv_bias_init(x.shape[-1]),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="fc1",
-        )(x)
+        if self.spatial_axis is not None:
+            x = RowShardedDense(
+                100,
+                n_shards=self.n_spatial_shards,
+                axis_name=self.spatial_axis,
+                dtype=self.dtype,
+                name="fc1",
+            )(x)
+        else:
+            x = nn.Dense(
+                100,
+                kernel_init=torch_dense_kernel_init(),
+                bias_init=torch_conv_bias_init(x.shape[-1]),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="fc1",
+            )(x)
         x = leaky_relu(x, _CRITIC_SLOPE)
         x = nn.Dense(
             1,

@@ -125,3 +125,36 @@ def nchw_to_nhwc(x: jax.Array) -> jax.Array:
 
 def nhwc_to_nchw(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+class RowShardedDense(nn.Module):
+    """Dense layer over a feature axis row-sharded across a mesh axis.
+
+    The input's feature axis is the local slice of a globally flattened
+    vector whose rows are distributed over ``n_shards`` devices in order
+    (e.g. an H-sharded NHWC activation flattened per shard). The kernel is
+    replicated at full global width; each device multiplies its input
+    slice by its kernel row-block and a ``psum`` over ``axis_name``
+    completes the matmul — parameters stay bit-compatible with the
+    unsharded ``nn.Dense`` of the same name.
+    """
+
+    features: int
+    n_shards: int
+    axis_name: str
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_loc: jax.Array) -> jax.Array:
+        local_in = x_loc.shape[-1]
+        full_in = local_in * self.n_shards
+        kernel = self.param(
+            "kernel", torch_dense_kernel_init(), (full_in, self.features)
+        )
+        bias = self.param("bias", torch_conv_bias_init(full_in), (self.features,))
+        idx = jax.lax.axis_index(self.axis_name)
+        k_loc = jax.lax.dynamic_slice(
+            kernel, (idx * local_in, 0), (local_in, self.features)
+        )
+        partial = x_loc.astype(self.dtype) @ k_loc.astype(self.dtype)
+        return jax.lax.psum(partial, self.axis_name) + bias

@@ -127,7 +127,8 @@ def tiled_sr_inference(
     return out
 
 
-def sharded_generator_apply(config: Config, mesh: Mesh, axis_name: str = "spatial"):
+def sharded_generator_apply(config: Config, mesh: Mesh, axis_name: str = "spatial",
+                            jit: bool = True):
     """Exact spatially-sharded generator evaluation.
 
     Returns ``apply(params, coarse)`` where the coarse field's H axis is
@@ -148,11 +149,62 @@ def sharded_generator_apply(config: Config, mesh: Mesh, axis_name: str = "spatia
     )
     spec = P(None, axis_name, None, None)
 
-    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=spec
     )
     def apply(params, coarse):
         return gen.apply(params, coarse)
 
-    return apply
+    return jax.jit(apply) if jit else apply
+
+
+def sharded_critic_apply(config: Config, mesh: Mesh, axis_name: str = "spatial",
+                         jit: bool = True):
+    """Exact spatially-sharded critic evaluation.
+
+    Returns ``apply(params, fine)`` with the fine field's H axis sharded
+    over ``axis_name``: the eight convs halo-exchange (strided stages need
+    the local H even), and the classifier runs as a row-parallel matmul
+    completed by a psum (``RowShardedDense``) — same params as the plain
+    critic, scores replicated on every shard. Differentiable: GP/critic
+    gradients flow through ppermute/psum. Requires fine_size/16 divisible
+    by the axis size.
+    """
+    from downgan_tpu.models.critic import Critic
+
+    n = int(mesh.shape[axis_name])
+    critic = Critic(
+        base=config.filters,
+        fine_size=config.fine_size,
+        spatial_axis=axis_name,
+        n_spatial_shards=n,
+    )
+    spec = P(None, axis_name, None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=P()
+    )
+    def apply(params, fine):
+        return critic.apply(params, fine)
+
+    return jax.jit(apply) if jit else apply
+
+
+def build_spatial_train_step(config: Config, mesh: Mesh, axis_name: str = "spatial",
+                             with_metrics: bool = False):
+    """WGAN-GP train step with the FIELDS sharded spatially over the mesh
+    (model parallelism) instead of the batch: both network applies run
+    halo-exchanged/row-parallel under shard_map, gradients flow through
+    the collectives, and parameters stay replicated. The complement of
+    the DP step (``parallel/dp.py``) for batches of very large fields.
+    """
+    import types
+
+    from downgan_tpu.training.wgan import build_train_step
+
+    gen_apply = sharded_generator_apply(config, mesh, axis_name, jit=False)
+    critic_apply = sharded_critic_apply(config, mesh, axis_name, jit=False)
+    gen_shim = types.SimpleNamespace(apply=gen_apply)
+    critic_shim = types.SimpleNamespace(apply=critic_apply)
+    step = build_train_step(config, gen_shim, critic_shim, with_metrics=with_metrics)
+    return jax.jit(step, donate_argnums=(0,))

@@ -85,3 +85,61 @@ def test_sharded_generator_matches_unsharded():
     apply = sharded_generator_apply(config, mesh)
     got = apply(state.g_params, coarse)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sharded_critic_matches_unsharded():
+    """H-sharded critic (halo convs + row-parallel classifier) is exact,
+    and the GP double-grad flows through the collectives."""
+    import jax.numpy as jnp
+
+    from downgan_tpu.parallel.spatial import sharded_critic_apply
+    from downgan_tpu.training.state import create_state
+    from downgan_tpu.training.wgan import gradient_penalty
+
+    config = Config(coarse_size=16, fine_size=128, filters=8, num_res_blocks=1,
+                    hp=HyperParams(batch_size=2))
+    _, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    fine = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128, 2))
+
+    want = jax.jit(critic.apply)(state.c_params, fine)
+    mesh = make_mesh(axes=("spatial",))
+    apply = sharded_critic_apply(config, mesh)
+    got = apply(state.c_params, fine)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4, rtol=1e-4)
+
+    # gradient penalty through the sharded critic == through the plain one
+    fake = fine * 0.9
+    alpha = jnp.full((2, 1, 1, 1), 0.3)
+    gp_plain = float(gradient_penalty(critic.apply, state.c_params, fine, fake, alpha))
+    gp_shard = float(gradient_penalty(
+        lambda p, x: apply(p, x), state.c_params, fine, fake, alpha))
+    assert gp_shard == pytest.approx(gp_plain, rel=1e-3)
+
+
+def test_spatial_train_step_matches_plain():
+    """Model-parallel (field-sharded) train step produces the same updated
+    params as the plain single-device step."""
+    from downgan_tpu.parallel.spatial import build_spatial_train_step
+    from downgan_tpu.training.state import create_state
+    from downgan_tpu.training.wgan import build_train_step
+
+    hp = HyperParams(batch_size=2, metrics_to_calculate=("MAE", "MSE", "Wass"))
+    config = Config(coarse_size=16, fine_size=128, filters=8, num_res_blocks=1, hp=hp)
+    gen, critic = make_models(config)
+    rng = jax.random.PRNGKey(5)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 2))
+
+    plain = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+    s1, m1 = plain(create_state(config, jax.random.PRNGKey(0)), coarse, fine, rng)
+
+    mesh = make_mesh(axes=("spatial",))
+    spatial = build_spatial_train_step(config, mesh)
+    s2, m2 = spatial(create_state(config, jax.random.PRNGKey(0)), coarse, fine, rng)
+
+    assert float(m1["critic_loss"]) == pytest.approx(float(m2["critic_loss"]), rel=1e-3)
+    for a, b in zip(jax.tree.leaves(s1.c_params), jax.tree.leaves(s2.c_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
