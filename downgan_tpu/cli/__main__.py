@@ -155,7 +155,12 @@ def prepare_data(config_path, region) -> None:
 @click.option("--out", "-o", default="generated.nc")
 @click.option("--synthetic", is_flag=True, help="Generate from synthetic covariates.")
 @click.option("--samples", type=int, default=100)
-def generate(config_path, region, checkpoint, epoch, weights_only, out, synthetic, samples) -> None:
+@click.option("--tile-rows", type=int, default=0,
+              help="Overlap-tile the lat axis for domains taller than the "
+              "training patch (0 = whole-field forward).")
+@click.option("--overlap", type=int, default=8, help="Tile context rows per side.")
+def generate(config_path, region, checkpoint, epoch, weights_only, out, synthetic,
+             samples, tile_rows, overlap) -> None:
     """Generate super-resolved fields from a trained checkpoint and write
     them to NetCDF (parity with helpers/gen_fake_ds.py)."""
     from downgan_tpu.data.staging import load_preprocessed
@@ -179,7 +184,13 @@ def generate(config_path, region, checkpoint, epoch, weights_only, out, syntheti
 
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only)
-    fields = generate_fields(config, g_params, coarse)
+    if tile_rows:
+        from downgan_tpu.parallel.spatial import tiled_sr_inference
+
+        fields = tiled_sr_inference(config, g_params, coarse,
+                                    tile_rows=tile_rows, overlap=overlap)
+    else:
+        fields = generate_fields(config, g_params, coarse)
     write_generated_netcdf(out, fields, var_names=("u10", "v10"))
     click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
 

@@ -13,6 +13,14 @@ from downgan_tpu.parallel.mesh import (
     shard_batch,
 )
 from downgan_tpu.parallel.dp import build_dp_train_step, build_dp_epoch_scan
+from downgan_tpu.parallel.spatial import (
+    build_spatial_train_step,
+    halo_exchange,
+    make_sharded_conv,
+    sharded_critic_apply,
+    sharded_generator_apply,
+    tiled_sr_inference,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -22,4 +30,10 @@ __all__ = [
     "shard_batch",
     "build_dp_train_step",
     "build_dp_epoch_scan",
+    "build_spatial_train_step",
+    "halo_exchange",
+    "make_sharded_conv",
+    "sharded_critic_apply",
+    "sharded_generator_apply",
+    "tiled_sr_inference",
 ]
