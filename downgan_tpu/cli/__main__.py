@@ -15,7 +15,7 @@ from typing import Optional
 
 import click
 
-from downgan_tpu.config.config import Config, HyperParams, REGIONS
+from downgan_tpu.config.config import Config, REGIONS
 
 
 def _load_config(config_path: Optional[str], region: Optional[str], **hp_overrides) -> Config:

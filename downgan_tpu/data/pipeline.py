@@ -12,7 +12,7 @@ reads are a single pass and the arrays then live on-device.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
