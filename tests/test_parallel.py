@@ -109,3 +109,18 @@ def test_dp_fused_schedule_round():
     new_state, metrics = dp(state, coarse, fine, jax.random.PRNGKey(1))
     assert int(new_state.step) == 2
     assert np.isfinite(float(metrics["critic_loss"]))
+
+
+def test_device_dataset_sharded_residency():
+    """DeviceDataset.from_numpy with a batch sharding places each sample
+    shard on its device; epoch gathers still work."""
+    from downgan_tpu.data.dataset import DeviceDataset
+
+    mesh = make_mesh()
+    coarse = np.random.default_rng(0).standard_normal((16, 4, 4, 3)).astype(np.float32)
+    fine = coarse * 2.0
+    ds = DeviceDataset.from_numpy(coarse, fine, sharding=batch_sharding(mesh))
+    assert ds.coarse.sharding.num_devices == mesh.devices.size
+    assert ds.coarse.addressable_shards[0].data.shape[0] == 2
+    c, f = next(ds.batches(np.random.default_rng(0), batch_size=4))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(c) * 2.0)
