@@ -124,7 +124,11 @@ class HyperParams:
     # Reference-quirk & semantics flags (new; the reference hard-codes these
     # behaviors implicitly).
     double_gp_lambda: bool = True
-    drop_last: bool = True  # keep static batch shapes under jit
+    # Partial batches are always dropped (static shapes under jit; the
+    # reference itself crashes on partial batches in the GP reshape,
+    # wasserstein.py:110, so drop-last is also the parity behavior). The
+    # flag is validated rather than consulted.
+    drop_last: bool = True
 
     # TPU-native knobs (no reference equivalent).
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
@@ -143,6 +147,18 @@ class HyperParams:
     # (the reference regenerates: mlflow_epoch.py:54). Saves one full G
     # forward per step; metrics lag the params by one update.
     metrics_reuse_fake: bool = False
+
+    def __post_init__(self) -> None:
+        if not self.drop_last:
+            raise ValueError(
+                "drop_last=False is not supported: partial batches break "
+                "static shapes under jit (and crash the reference's GP "
+                "reshape, wasserstein.py:110)"
+            )
+        if self.schedule not in ("reference", "fused"):
+            raise ValueError(f"unknown schedule {self.schedule!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
 
     @property
     def effective_gp_weight(self) -> float:

@@ -191,3 +191,12 @@ def test_prefetch_feed_covers_epoch_in_order():
         np.testing.assert_allclose(np.asarray(f), np.asarray(c) + 100.0)
         seen.extend(np.asarray(c)[:, 0, 0, 0].astype(int).tolist())
     assert seen == list(range(20))
+
+
+def test_hyperparams_validation():
+    with pytest.raises(ValueError, match="drop_last"):
+        HyperParams(drop_last=False)
+    with pytest.raises(ValueError, match="schedule"):
+        HyperParams(schedule="bogus")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        HyperParams(compute_dtype="fp16")
