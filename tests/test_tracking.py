@@ -115,3 +115,30 @@ def test_server_pages(store):
         assert art == b"artifact-body"
     finally:
         server.shutdown()
+
+
+def test_server_blocks_path_escape(store):
+    import urllib.error
+
+    from downgan_tpu.tracking.server import serve
+
+    eid = store.create_experiment("exp")
+    run = store.create_run(eid).start()
+    with open(run.artifact_path("safe.txt"), "w") as f:
+        f.write("ok")
+
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        ok = urllib.request.urlopen(f"{base}/artifact/{run.run_id}/safe.txt")
+        assert ok.status == 200
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"{base}/artifact/{run.run_id}/..%2f..%2f..%2fexperiments.json"
+            )
+        assert exc.value.code == 404
+    finally:
+        server.shutdown()
