@@ -173,7 +173,7 @@ def test_gradient_penalty_parity_with_torch(small_dims):
     norms = torch.sqrt(torch.sum(grads.view(b, -1) ** 2, dim=1) + 1e-12)
     gp_t = ((norms - 1.0) ** 2).mean()
     gp_t.backward()
-    ref_gp = float(gp_t)
+    ref_gp = float(gp_t.detach())
     ref_wgrad = tc.features[0].weight.grad.detach().numpy()  # OIHW
 
     # --- jax nested grad on NHWC
