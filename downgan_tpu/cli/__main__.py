@@ -67,9 +67,12 @@ def cli() -> None:
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
 @click.option("--save-every", type=int, default=1)
 @click.option("--plot-every", type=int, default=1)
+@click.option("--tensorboard", is_flag=True,
+              help="Also log metrics/figures to TensorBoard under the run's "
+              "artifact dir (tracking/tensorboard.py).")
 def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
           synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
-          resume, interactive, mesh, save_every, plot_every) -> None:
+          resume, interactive, mesh, save_every, plot_every, tensorboard) -> None:
     """Train the WGAN-GP super-resolution model."""
     import jax
 
@@ -117,6 +120,8 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
     trainer = Trainer(
         config, train_ds, test_ds, run=run, checkpoint_manager=ckpt,
         mesh=mesh_obj, save_every=save_every, plot_every=plot_every,
+        tensorboard_dir=(os.path.join(run.artifact_dir, "tensorboard")
+                         if tensorboard else None),
     )
     if resume:
         trainer.maybe_resume()
