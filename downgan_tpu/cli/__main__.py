@@ -200,6 +200,31 @@ def generate(config_path, region, checkpoint, epoch, weights_only, out, syntheti
     click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
 
 
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--checkpoint", "-c", required=True, help="Checkpoint directory.")
+@click.option("--epoch", "-e", type=int, default=None)
+@click.option("--weights-only", is_flag=True)
+@click.option("--host", default="0.0.0.0")
+@click.option("-p", "--port", type=int, default=8080)
+@click.option("--serving-batch", type=int, default=0,
+              help="Compiled batch size (0 = config.chunk_size).")
+def serve(config_path, checkpoint, epoch, weights_only, host, port, serving_batch) -> None:
+    """Serve super-resolution inference over HTTP (POST .npy covariates to
+    /v1/generate; GET /healthz). No reference equivalent — the serving
+    layer for production deployment."""
+    from downgan_tpu.inference import restore_generator_params
+    from downgan_tpu.serving import SRModel, serve_model
+
+    config = _load_config(config_path, None)
+    g_params = restore_generator_params(config, checkpoint, step=epoch,
+                                        weights_only=weights_only)
+    model = SRModel(config, g_params, batch_size=serving_batch)
+    server = serve_model(model, host, port)
+    click.echo(f"SR inference on http://{host}:{port} (batch {model.batch})")
+    server.serve_forever()
+
+
 @cli.command("serve-tracking")
 @click.option("--root", default="experiments")
 @click.option("--host", default="0.0.0.0")

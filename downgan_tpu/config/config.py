@@ -203,6 +203,10 @@ class Config:
     n_predictands: int = 2
     filters: int = 16
     num_res_blocks: int = 16
+    # Generator family: "rrdb" (ESRGAN residual-in-residual dense, the
+    # reference's shipped model) or "srresnet" (the SRGAN-style variant the
+    # reference carries as dead code, networks/generator.py:93-204).
+    generator_arch: str = "rrdb"
 
     hp: HyperParams = field(default_factory=HyperParams)
 

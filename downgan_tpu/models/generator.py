@@ -19,13 +19,20 @@ TPU-first design decisions (not a translation):
 """
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from downgan_tpu.models.layers import Conv3x3, leaky_relu, pixel_shuffle
+from downgan_tpu.models.layers import (
+    Conv3x3,
+    leaky_relu,
+    pixel_shuffle,
+    torch_conv_bias_init,
+    torch_conv_kernel_init,
+)
 
 Dtype = Any
 
@@ -130,4 +137,107 @@ class Generator(nn.Module):
         out = leaky_relu(out, _GEN_SLOPE)
         out = Conv3x3(self.n_predictands, dtype=self.dtype, name="head2",
                       spatial_axis=self.spatial_axis)(out)
+        return out.astype(jnp.float32)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single learnable slope (torch nn.PReLU
+    default: one parameter, init 0.25)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param("alpha", lambda k, s: jnp.full(s, self.init), (1,))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class BatchNorm(nn.Module):
+    """Stateless batch normalization (training-mode semantics).
+
+    The reference's SRGAN variant uses nn.BatchNorm2d; keeping running
+    statistics would add a mutable collection to the otherwise pure
+    GANTrainState, and the variant never ran upstream (it is commented
+    out, ``networks/generator.py:93-204``), so this normalizes by the
+    current batch's statistics with learnable scale/bias — identical to
+    torch training-mode BN.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", lambda k, s: jnp.ones(s), (c,))
+        bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
+        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
+class SRResNetBlock(nn.Module):
+    """conv -> PReLU -> conv + input (reference ResidualBlock,
+    ``networks/generator.py:182-204``; convs bias-free)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = Conv3x3(self.channels, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = PReLU(name="prelu")(out)
+        out = Conv3x3(self.channels, use_bias=False, dtype=self.dtype, name="conv2")(out)
+        return out + x
+
+
+class SRResNetGenerator(nn.Module):
+    """SRGAN-style generator — the reference's commented-out second model
+    family (``networks/generator.py:93-204``) made real: 9x9 conv + PReLU
+    -> 16 residual blocks -> 3x3 conv (no bias) + BN + global skip ->
+    num_upsample x [conv 4f, pixel-shuffle, PReLU] -> 9x9 output conv.
+    NHWC; same (coarse, fine) contract as :class:`Generator`.
+    """
+
+    filters: int = 16
+    n_predictands: int = 2
+    num_res_blocks: int = 16
+    num_upsample: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        cin = x.shape[-1]
+        conv9 = functools.partial(
+            nn.Conv, kernel_size=(9, 9), padding=((4, 4), (4, 4)),
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )
+        out1 = conv9(
+            features=self.filters,
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(81 * cin),
+            name="conv1",
+        )(x)
+        out1 = PReLU(name="prelu1")(out1)
+
+        out = out1
+        for i in range(self.num_res_blocks):
+            out = SRResNetBlock(self.filters, dtype=self.dtype, name=f"res{i}")(out)
+
+        out = Conv3x3(self.filters, use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(name="bn2")(out)
+        out = out1 + out
+
+        for i in range(self.num_upsample):
+            out = Conv3x3(self.filters * 4, use_bias=False, dtype=self.dtype,
+                          name=f"up{i}")(out)
+            out = pixel_shuffle(out, 2)
+            out = PReLU(name=f"up_prelu{i}")(out)
+
+        out = conv9(
+            features=self.n_predictands,
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(81 * self.filters),
+            name="conv3",
+        )(out)
         return out.astype(jnp.float32)

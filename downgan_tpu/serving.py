@@ -1,0 +1,128 @@
+"""HTTP inference service for super-resolution generation.
+
+The task brief calls for production serving; the reference's only
+inference surface is a batch CLI (``helpers/gen_fake_ds.py``). This is a
+dependency-free serving layer: a stdlib HTTP server holding a jitted
+generator with fixed-size batching (static shapes — ragged requests are
+padded to the compiled batch and trimmed), so every request after the
+first reuses one compiled program.
+
+Protocol:
+  * ``GET /healthz``                -> ``{"status": "ok", ...}``
+  * ``POST /v1/generate`` with a .npy body of coarse covariates
+    (N, h, w, C) float32        -> .npy body of generated (N, H, W, P)
+
+Client: ``downgan_tpu.serving.generate_remote(url, coarse)``.
+Run: ``python -m downgan_tpu.cli serve --checkpoint <dir>``.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from downgan_tpu.config.config import Config
+
+
+class SRModel:
+    """Jitted generator with fixed-batch padding; thread-safe."""
+
+    def __init__(self, config: Config, g_params, batch_size: int = 0):
+        from downgan_tpu.training.state import make_models
+
+        self.config = config
+        self.batch = batch_size or config.chunk_size
+        gen, _ = make_models(config)
+        self._fwd = jax.jit(gen.apply)
+        self._params = g_params
+        self._lock = threading.Lock()
+
+    def generate(self, coarse: np.ndarray) -> np.ndarray:
+        if coarse.ndim != 4 or coarse.shape[1:] != (
+            self.config.coarse_size, self.config.coarse_size, self.config.n_covariates
+        ):
+            raise ValueError(
+                f"expected (N, {self.config.coarse_size}, {self.config.coarse_size}, "
+                f"{self.config.n_covariates}) float32, got {coarse.shape}"
+            )
+        outs = []
+        with self._lock:  # one compiled program, serialized TPU access
+            for start in range(0, coarse.shape[0], self.batch):
+                block = coarse[start : start + self.batch]
+                pad = self.batch - block.shape[0]
+                if pad:
+                    block = np.concatenate(
+                        [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
+                    )
+                fake = np.asarray(self._fwd(self._params, jnp.asarray(block, jnp.float32)))
+                outs.append(fake[: self.batch - pad] if pad else fake)
+        return np.concatenate(outs, axis=0)
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    model: SRModel = None  # injected
+
+    def log_message(self, *args) -> None:
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802
+        if self.path == "/healthz":
+            cfg = self.model.config
+            body = json.dumps({
+                "status": "ok",
+                "coarse_shape": [cfg.coarse_size, cfg.coarse_size, cfg.n_covariates],
+                "fine_shape": [cfg.fine_size, cfg.fine_size, cfg.n_predictands],
+                "serving_batch": self.model.batch,
+                "generator_arch": cfg.generator_arch,
+            }).encode()
+            self._send(200, body, "application/json")
+        else:
+            self._send(404, b"{}", "application/json")
+
+    def do_POST(self) -> None:  # noqa: N802
+        if self.path != "/v1/generate":
+            self._send(404, b"{}", "application/json")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            coarse = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+            fields = self.model.generate(np.asarray(coarse, np.float32))
+            self._send(200, _npy_bytes(fields), "application/octet-stream")
+        except (ValueError, OSError) as exc:
+            self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
+
+
+def serve_model(model: SRModel, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"model": model})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def generate_remote(url: str, coarse: np.ndarray) -> np.ndarray:
+    """Client helper: POST covariates, return generated fields."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/v1/generate",
+        data=_npy_bytes(np.asarray(coarse, np.float32)),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return np.load(io.BytesIO(resp.read()), allow_pickle=False)

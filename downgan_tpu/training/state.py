@@ -35,16 +35,29 @@ class GANTrainState(struct.PyTreeNode):
         )
 
 
-def make_models(config: Config) -> Tuple[Generator, Critic]:
+def make_models(config: Config) -> Tuple[Any, Critic]:
     dtype = jnp.bfloat16 if config.hp.compute_dtype == "bfloat16" else jnp.float32
-    gen = Generator(
-        filters=config.filters,
-        n_predictands=config.n_predictands,
-        num_res_blocks=config.num_res_blocks,
-        num_upsample=config.num_upsample,
-        dtype=dtype,
-        remat=config.hp.remat,
-    )
+    if config.generator_arch == "srresnet":
+        from downgan_tpu.models.generator import SRResNetGenerator
+
+        gen = SRResNetGenerator(
+            filters=config.filters,
+            n_predictands=config.n_predictands,
+            num_res_blocks=config.num_res_blocks,
+            num_upsample=config.num_upsample,
+            dtype=dtype,
+        )
+    elif config.generator_arch == "rrdb":
+        gen = Generator(
+            filters=config.filters,
+            n_predictands=config.n_predictands,
+            num_res_blocks=config.num_res_blocks,
+            num_upsample=config.num_upsample,
+            dtype=dtype,
+            remat=config.hp.remat,
+        )
+    else:
+        raise ValueError(f"unknown generator_arch {config.generator_arch!r}")
     critic = Critic(base=config.filters, fine_size=config.fine_size, dtype=dtype)
     return gen, critic
 

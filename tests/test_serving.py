@@ -1,0 +1,98 @@
+"""Serving layer + SRResNet model-family tests."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from downgan_tpu.config.config import Config, HyperParams
+from downgan_tpu.training.state import create_state, make_models
+
+
+def tiny_config(**kw):
+    return Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+                  chunk_size=4, hp=HyperParams(batch_size=4), **kw)
+
+
+@pytest.fixture(scope="module")
+def served():
+    from downgan_tpu.serving import SRModel, serve_model
+
+    config = tiny_config()
+    gen, _ = make_models(config)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 7)))
+    model = SRModel(config, params, batch_size=4)
+    server = serve_model(model, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield config, gen, params, f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def test_healthz(served):
+    _, _, _, url = served
+    info = json.loads(urllib.request.urlopen(f"{url}/healthz").read())
+    assert info["status"] == "ok"
+    assert info["coarse_shape"] == [8, 8, 7]
+    assert info["fine_shape"] == [32, 32, 2]
+
+
+def test_generate_roundtrip_matches_local(served):
+    from downgan_tpu.serving import generate_remote
+
+    config, gen, params, url = served
+    coarse = np.random.default_rng(0).standard_normal((6, 8, 8, 7)).astype(np.float32)
+    remote = generate_remote(url, coarse)
+    local = np.asarray(gen.apply(params, jnp.asarray(coarse)))
+    assert remote.shape == (6, 32, 32, 2)
+    np.testing.assert_allclose(remote, local, atol=1e-5)
+
+
+def test_generate_rejects_bad_shape(served):
+    from downgan_tpu.serving import generate_remote
+
+    _, _, _, url = served
+    bad = np.zeros((2, 5, 5, 7), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        generate_remote(url, bad)
+    assert exc.value.code == 400
+
+
+def test_srresnet_family_trains():
+    """generator_arch='srresnet' plugs into the standard train step."""
+    from downgan_tpu.training.wgan import build_train_step
+
+    config = tiny_config(generator_arch="srresnet").replace(
+        hp=HyperParams(batch_size=4, metrics_to_calculate=("MAE", "MSE", "Wass"))
+    )
+    gen, critic = make_models(config)
+    assert type(gen).__name__ == "SRResNetGenerator"
+    state = create_state(config, jax.random.PRNGKey(0))
+    step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+    new_state, metrics = step(state, coarse, fine, jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_srresnet_structure():
+    """Faithful to the dead reference variant: 9x9 head/tail convs, PReLU
+    activations, bias-free residual convs, BN after the trunk conv."""
+    from downgan_tpu.models.generator import SRResNetGenerator
+
+    g = SRResNetGenerator(filters=8, num_res_blocks=2)
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 7)))["params"]
+    assert params["conv1"]["kernel"].shape == (9, 9, 7, 8)
+    assert params["conv3"]["kernel"].shape == (9, 9, 8, 2)
+    assert "alpha" in params["prelu1"]
+    assert "bias" not in params["res0"]["conv1"]["Conv_0"]
+    assert set(params["bn2"]) == {"scale", "bias"}
+    out = g.apply({"params": params}, jnp.zeros((2, 8, 8, 7)))
+    assert out.shape == (2, 64, 64, 2)  # default num_upsample=3 -> 8x
