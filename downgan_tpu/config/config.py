@@ -138,6 +138,10 @@ class HyperParams:
     # rounds (n_critic critic minibatches + 1 G update per round) via
     # build_fused_round — SURVEY §7 fast path (b).
     schedule: str = "reference"
+    # Exponential moving average of generator weights (0.0 = off). The
+    # standard GAN sampling trick: the EMA params are what you serve.
+    # No reference equivalent.
+    ema_decay: float = 0.0
     # Rematerialize RRDB activations in the generator backward pass
     # (jax.checkpoint): trades ~1 extra trunk forward for O(depth) less
     # activation memory — enables much larger batches/fields per chip.

@@ -27,6 +27,7 @@ def restore_generator_params(
     checkpoint_dir: str,
     step: Optional[int] = None,
     weights_only: bool = False,
+    use_ema: bool = False,
 ):
     """Load generator params from an Orbax checkpoint.
 
@@ -48,6 +49,10 @@ def restore_generator_params(
     mngr = CheckpointManager(checkpoint_dir)
     state = mngr.restore(create_state(config, jax.random.PRNGKey(0)), step=step)
     mngr.close()
+    if use_ema:
+        if state.g_ema is None:
+            raise ValueError("checkpoint has no EMA weights (hp.ema_decay was 0)")
+        return state.g_ema
     return state.g_params
 
 

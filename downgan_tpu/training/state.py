@@ -27,6 +27,9 @@ class GANTrainState(struct.PyTreeNode):
     c_params: Any
     g_opt_state: Any
     c_opt_state: Any
+    # EMA of g_params when hp.ema_decay > 0, else None (absent from the
+    # pytree). The sampling/serving weights in production GAN practice.
+    g_ema: Any = None
 
     def replace_params(self, g_params: Any = None, c_params: Any = None) -> "GANTrainState":
         return self.replace(
@@ -86,6 +89,7 @@ def create_state(config: Config, rng: jax.Array) -> GANTrainState:
         c_params=c_params,
         g_opt_state=tx.init(g_params),
         c_opt_state=tx.init(c_params),
+        g_ema=jax.tree.map(jnp.copy, g_params) if config.hp.ema_decay else None,
     )
 
 

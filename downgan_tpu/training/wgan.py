@@ -128,6 +128,14 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic):
     return split_bands, critic_loss_fn, gen_loss_fn
 
 
+def _ema_update(hp, ema: Any, new_params: Any) -> Any:
+    """EMA of generator weights (hp.ema_decay; None passthrough when off)."""
+    if not hp.ema_decay or ema is None:
+        return ema
+    d = hp.ema_decay
+    return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
+
+
 def build_train_step(
     config: Config,
     gen: Generator,
@@ -172,17 +180,20 @@ def build_train_step(
         c_params = optax.apply_updates(state.c_params, c_updates)
 
         # ---- generator update on the reference schedule (incl. step 0)
-        def g_update(_: None) -> Tuple[Any, Any, jax.Array]:
+        def g_update(_: None):
             g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
                 state.g_params, c_params, coarse, fine
             )
             g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
-            return optax.apply_updates(state.g_params, g_updates), g_opt_state, g_loss
+            new_g = optax.apply_updates(state.g_params, g_updates)
+            new_ema = _ema_update(hp, state.g_ema, new_g)
+            return new_g, g_opt_state, new_ema, g_loss
 
-        def g_skip(_: None) -> Tuple[Any, Any, jax.Array]:
-            return state.g_params, state.g_opt_state, jnp.zeros((), jnp.float32)
+        def g_skip(_: None):
+            return (state.g_params, state.g_opt_state, state.g_ema,
+                    jnp.zeros((), jnp.float32))
 
-        g_params, g_opt_state, g_loss = lax.cond(
+        g_params, g_opt_state, g_ema, g_loss = lax.cond(
             state.step % hp.critic_iterations == 0, g_update, g_skip, None
         )
 
@@ -192,6 +203,7 @@ def build_train_step(
             c_params=c_params,
             g_opt_state=g_opt_state,
             c_opt_state=c_opt_state,
+            g_ema=g_ema,
         )
 
         metrics: Metrics = {
@@ -274,10 +286,11 @@ def build_fused_round(
         )
         g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+        g_ema = _ema_update(hp, state.g_ema, g_params)
 
         new_state = state.replace(
             step=step, g_params=g_params, c_params=c_params,
-            g_opt_state=g_opt_state, c_opt_state=c_opt_state,
+            g_opt_state=g_opt_state, c_opt_state=c_opt_state, g_ema=g_ema,
         )
         metrics: Metrics = {
             "critic_loss": jnp.mean(c_losses),

@@ -205,3 +205,35 @@ def test_fused_round_runs_and_matches_schedule():
         assert not np.allclose(
             np.asarray(jax.tree.leaves(old)[0]), np.asarray(jax.tree.leaves(new)[0])
         )
+
+
+def test_ema_generator_weights():
+    """hp.ema_decay maintains an EMA of the generator that moves slower
+    than the live params and only when the generator updates."""
+    hp = HyperParams(batch_size=4, critic_iterations=2, ema_decay=0.9)
+    config = small_config().replace(hp=hp)
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    assert state.g_ema is not None
+    step = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 2))
+    rng = jax.random.PRNGKey(3)
+
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+    g0 = leaf(state.g_params)
+    # step 0: G updates (step % 2 == 0) -> ema moves toward new params
+    s1, _ = step(state, coarse, fine, rng)
+    d_params = np.abs(leaf(s1.g_params) - g0).mean()
+    d_ema = np.abs(leaf(s1.g_ema) - g0).mean()
+    assert d_params > 0 and d_ema > 0
+    assert d_ema == pytest.approx(0.1 * d_params, rel=1e-3)  # (1-decay) step
+    # step 1: G skipped -> ema unchanged
+    s2, _ = step(s1, coarse, fine, rng)
+    np.testing.assert_array_equal(leaf(s2.g_ema), leaf(s1.g_ema))
+
+
+def test_ema_off_keeps_state_lean():
+    config = small_config()
+    state = create_state(config, jax.random.PRNGKey(0))
+    assert state.g_ema is None
