@@ -1,0 +1,80 @@
+"""Multi-host (pod / multi-slice) scaffolding.
+
+One v5e host sees only its local chips; a pod run is one JAX program per
+host coordinated through ``jax.distributed``. These helpers wrap the
+standard recipe so the Trainer/CLI work unchanged on a pod:
+
+  * :func:`initialize` — `jax.distributed.initialize` from env or args
+    (no-op on single-host, so the same entry point runs everywhere);
+  * :func:`global_mesh` — mesh over ALL devices in the job (ICI within a
+    slice, DCN across slices if present);
+  * :func:`process_batch_slice` — which rows of a global batch this host
+    must feed (per-host data loading: every host materializes only its
+    shard, then `jax.make_array_from_process_local_data` assembles the
+    global array).
+
+Hardware with >1 host is not reachable in this environment; the slicing
+math and single-host no-op path are tested, the rest follows the standard
+jax.distributed contract.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from downgan_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed for a multi-host job; no-op single-host.
+
+    With no arguments, relies on the TPU environment's auto-detection
+    (the standard path on Cloud TPU pods). Safe to call unconditionally.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Already initialized, or single-process auto-detection: keep going.
+        pass
+
+
+def global_mesh(axes: Sequence[str] = (DATA_AXIS,)):
+    """Mesh over every device in the job (all hosts)."""
+    return make_mesh(axes=axes, devices=jax.devices())
+
+
+def process_batch_slice(global_batch: int, process_index: Optional[int] = None,
+                        process_count: Optional[int] = None) -> Tuple[int, int]:
+    """[start, stop) rows of the global batch this host feeds.
+
+    Requires the global batch to divide evenly over hosts (static shapes).
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    if global_batch % pc:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{pc} processes")
+    per = global_batch // pc
+    return pi * per, (pi + 1) * per
+
+
+def make_global_batch(mesh, local_rows: np.ndarray) -> jax.Array:
+    """Assemble a globally-sharded batch from this host's rows.
+
+    ``local_rows``: the rows from :func:`process_batch_slice`. Returns a
+    global jax.Array sharded over the mesh's data axis.
+    """
+    sharding = batch_sharding(mesh, ndim=local_rows.ndim)
+    return jax.make_array_from_process_local_data(sharding, local_rows)

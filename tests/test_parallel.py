@@ -124,3 +124,24 @@ def test_device_dataset_sharded_residency():
     assert ds.coarse.addressable_shards[0].data.shape[0] == 2
     c, f = next(ds.batches(np.random.default_rng(0), batch_size=4))
     np.testing.assert_allclose(np.asarray(f), np.asarray(c) * 2.0)
+
+
+def test_multihost_helpers_single_host():
+    from downgan_tpu.parallel.multihost import (
+        global_mesh,
+        initialize,
+        make_global_batch,
+        process_batch_slice,
+    )
+
+    initialize(num_processes=1)  # no-op path
+    assert process_batch_slice(64, process_index=0, process_count=1) == (0, 64)
+    assert process_batch_slice(64, process_index=3, process_count=4) == (48, 64)
+    with pytest.raises(ValueError):
+        process_batch_slice(10, process_index=0, process_count=4)
+
+    mesh = global_mesh()
+    rows = np.arange(16, dtype=np.float32).reshape(16, 1, 1, 1)
+    arr = make_global_batch(mesh, rows)
+    assert arr.shape == (16, 1, 1, 1)
+    np.testing.assert_array_equal(np.asarray(arr).ravel(), rows.ravel())
