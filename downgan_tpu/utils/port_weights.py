@@ -84,3 +84,49 @@ def port_critic(sd: StateDict, base: int = 16, fine_size: int = 128) -> Dict[str
     params["fc1"] = _dense(sd, "classifier.0", input_perm=perm)
     params["fc2"] = _dense(sd, "classifier.2")
     return {"params": params}
+
+
+def _conv_back(leaf: Dict[str, Array], prefix: str, out: Dict[str, Array]) -> None:
+    out[f"{prefix}.weight"] = np.transpose(np.asarray(leaf["kernel"]), (3, 2, 0, 1))
+    if "bias" in leaf:
+        out[f"{prefix}.bias"] = np.asarray(leaf["bias"])
+
+
+def export_generator(params: Mapping, num_res_blocks: int = 16,
+                     num_upsample: int = 3) -> Dict[str, Array]:
+    """Inverse of :func:`port_generator`: flax Generator variables -> a
+    torch-layout state_dict (numpy values), for loading into the reference
+    nets or external tools."""
+    p = params["params"] if "params" in params else params
+    out: Dict[str, Array] = {}
+    _conv_back(p["conv1"]["Conv_0"], "conv1", out)
+    for i in range(num_res_blocks):
+        for j in range(3):
+            for k in range(1, 6):
+                _conv_back(p[f"rrdb{i}"][f"drb{j}"][f"b{k}"]["Conv_0"],
+                           f"res_blocks.{i}.dense_blocks.{j}.b{k}.0", out)
+    _conv_back(p["conv2"]["Conv_0"], "conv2", out)
+    for u in range(num_upsample):
+        _conv_back(p[f"up{u}"]["Conv_0"], f"upsampling.{3 * u}", out)
+    _conv_back(p["head1"]["Conv_0"], "conv3.0", out)
+    _conv_back(p["head2"]["Conv_0"], "conv3.2", out)
+    return out
+
+
+def export_critic(params: Mapping, base: int = 16, fine_size: int = 128) -> Dict[str, Array]:
+    """Inverse of :func:`port_critic` (incl. the inverse NHWC->NCHW flatten
+    permutation on the first classifier layer)."""
+    p = params["params"] if "params" in params else params
+    out: Dict[str, Array] = {}
+    for i in range(8):
+        _conv_back(p[f"conv{i}"]["Conv_0"], f"features.{2 * i}", out)
+    spatial = fine_size // 16
+    perm = _nchw_to_nhwc_flat_perm(8 * base, spatial, spatial)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    k = np.asarray(p["fc1"]["kernel"])[inv]  # undo the row permutation
+    out["classifier.0.weight"] = np.transpose(k)
+    out["classifier.0.bias"] = np.asarray(p["fc1"]["bias"])
+    out["classifier.2.weight"] = np.transpose(np.asarray(p["fc2"]["kernel"]))
+    out["classifier.2.bias"] = np.asarray(p["fc2"]["bias"])
+    return out

@@ -222,3 +222,40 @@ def test_rmse_and_ralsd_parity(small_dims):
     ralsd_db = float(ralsd(jnp.asarray(ours),
                            jnp.asarray(ref.transpose(0, 2, 3, 1))))
     assert ralsd_db < 1e-3, ralsd_db
+
+
+def test_export_roundtrip(small_dims):
+    """export_* inverts port_*: torch -> flax -> torch is the identity, and
+    the exported dict loads back into the reference nets."""
+    from DoWnGAN.networks.critic import Critic as TorchCritic
+    from DoWnGAN.networks.generator import Generator as TorchGen
+
+    from downgan_tpu.utils.port_weights import (
+        export_critic,
+        export_generator,
+        port_critic,
+        port_generator,
+    )
+
+    d = small_dims
+    torch.manual_seed(7)
+    tg = TorchGen(d["filters"], d["fine"], d["n_cov"], d["n_pred"],
+                  num_res_blocks=d["blocks"])
+    tc = TorchCritic(d["filters"], d["fine"], d["n_pred"])
+    g_sd = {k: v.detach().numpy() for k, v in tg.state_dict().items()}
+    c_sd = {k: v.detach().numpy() for k, v in tc.state_dict().items()}
+
+    g_back = export_generator(port_generator(g_sd, d["blocks"], 3), d["blocks"], 3)
+    assert set(g_back) == set(g_sd)
+    for k in g_sd:
+        np.testing.assert_array_equal(g_back[k], g_sd[k])
+
+    c_back = export_critic(port_critic(c_sd, d["filters"], d["fine"]),
+                           d["filters"], d["fine"])
+    assert set(c_back) == set(c_sd)
+    for k in c_sd:
+        np.testing.assert_array_equal(c_back[k], c_sd[k])
+
+    # loads back into the reference modules without complaint
+    tg.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in g_back.items()})
+    tc.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in c_back.items()})
