@@ -151,3 +151,16 @@ def test_resume_reproduces_exact_trajectory(tmp_path):
     for a, b in zip(jax.tree.leaves(t_full.state.g_params),
                     jax.tree.leaves(t_b.state.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_retention(tmp_path):
+    """max_to_keep prunes old checkpoints; latest wins."""
+    config = tiny_config()
+    state = create_state(config, jax.random.PRNGKey(0))
+    mngr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    for step in range(5):
+        mngr.save(step, state, force=True)
+    mngr.wait()
+    assert mngr.latest_step() == 4
+    assert list(mngr.all_steps()) == [3, 4]
+    mngr.close()

@@ -200,3 +200,27 @@ def test_hyperparams_validation():
         HyperParams(schedule="bogus")
     with pytest.raises(ValueError, match="compute_dtype"):
         HyperParams(compute_dtype="fp16")
+
+
+def test_extended_metric_registry_in_step():
+    """Divergence/Vorticity/RALSD registry entries compile into the jitted
+    step (FFT + finite differences under jit)."""
+    hp = HyperParams(batch_size=4,
+                     metrics_to_calculate=("MAE", "Divergence", "Vorticity",
+                                           "RALSD", "Wass"))
+    config = Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1, hp=hp)
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+    _, metrics = step(state, coarse, fine, jax.random.PRNGKey(3))
+    for k in ("Divergence", "Vorticity", "RALSD"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_unknown_metric_rejected():
+    from downgan_tpu.ops.metrics import resolve_metrics
+
+    with pytest.raises(KeyError):
+        resolve_metrics(("MAE", "NotAMetric"))
