@@ -73,6 +73,11 @@ class Conv3x3(nn.Module):
         if self.spatial_axis is not None:
             from downgan_tpu.parallel.spatial import halo_exchange
 
+            if self.stride == 2 and x.shape[1] % 2:
+                raise ValueError(
+                    f"stride-2 sharded conv needs an even local H, got "
+                    f"{x.shape[1]} rows per shard — use fewer spatial shards"
+                )
             x = halo_exchange(x, self.spatial_axis, halo=1)
             h_pad = (0, 0)
         y = nn.Conv(
