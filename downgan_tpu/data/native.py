@@ -86,7 +86,9 @@ def cf_unpack(
     """Unpack an int16/int8 CF payload to float32 (fill -> NaN)."""
     lib = _build_and_load()
     if lib is None or raw.dtype not in (np.int16, np.int8):
-        out = raw.astype(np.float32) * np.float32(scale) + np.float32(offset)
+        # float64 intermediate, matching the native kernel and the generic
+        # h5py decode path bit-for-bit regardless of g++ availability.
+        out = (raw.astype(np.float64) * float(scale) + float(offset)).astype(np.float32)
         if fill is not None:
             out = np.where(raw == fill, np.float32(np.nan), out).astype(np.float32)
         return out

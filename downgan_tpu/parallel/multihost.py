@@ -39,15 +39,26 @@ def initialize(
     """
     if num_processes is not None and num_processes <= 1:
         return
+    explicit = coordinator_address is not None or process_id is not None or (
+        num_processes is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # Already initialized, or single-process auto-detection: keep going.
-        pass
+    except RuntimeError as exc:
+        # Tolerate only the already-initialized case; a misconfigured pod
+        # job with explicit coordinator args must fail loudly, not silently
+        # degrade to single-host training.
+        if "already initialized" in str(exc).lower():
+            return
+        if explicit:
+            raise
+    except ValueError:
+        if explicit:
+            raise
+        # No explicit args: auto-detection unavailable (single-host) — fine.
 
 
 def global_mesh(axes: Sequence[str] = (DATA_AXIS,)):

@@ -32,7 +32,8 @@ from downgan_tpu.config.config import Config
 class SRModel:
     """Jitted generator with fixed-batch padding; thread-safe."""
 
-    def __init__(self, config: Config, g_params, batch_size: int = 0):
+    def __init__(self, config: Config, g_params, batch_size: int = 0,
+                 max_request_samples: int = 8192):
         from downgan_tpu.training.state import make_models
 
         self.config = config
@@ -41,6 +42,12 @@ class SRModel:
         self._fwd = jax.jit(gen.apply)
         self._params = g_params
         self._lock = threading.Lock()
+        # Request-body cap: the largest legal payload is max_request_samples
+        # coarse patches (float32) plus npy header slack. Anything larger is
+        # rejected with 413 BEFORE the body is read, so one oversized request
+        # cannot exhaust host RAM.
+        per_sample = config.coarse_size * config.coarse_size * config.n_covariates * 4
+        self.max_request_bytes = max_request_samples * per_sample + 4096
 
     def generate(self, coarse: np.ndarray) -> np.ndarray:
         if coarse.ndim != 4 or coarse.shape[1:] != (
@@ -103,6 +110,12 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length > self.model.max_request_bytes:
+                self._send(413, json.dumps({
+                    "error": f"request body {length} bytes exceeds cap "
+                             f"{self.model.max_request_bytes}"
+                }).encode(), "application/json")
+                return
             coarse = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
             fields = self.model.generate(np.asarray(coarse, np.float32))
             self._send(200, _npy_bytes(fields), "application/octet-stream")

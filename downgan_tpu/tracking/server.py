@@ -122,7 +122,11 @@ class TrackingHandler(SimpleHTTPRequestHandler):
             elif parts[0] == "artifact" and len(parts) >= 3:
                 run = store.get_run(parts[1])
                 fpath = os.path.join(run.artifact_dir, *parts[2:])
-                if not os.path.realpath(fpath).startswith(os.path.realpath(run.artifact_dir)):
+                real_fpath = os.path.realpath(fpath)
+                real_root = os.path.realpath(run.artifact_dir)
+                # commonpath (not startswith) so a sibling like
+                # <run>/artifacts_evil cannot pass a prefix check.
+                if os.path.commonpath([real_fpath, real_root]) != real_root:
                     raise KeyError("path escape")
                 with open(fpath, "rb") as f:
                     data = f.read()

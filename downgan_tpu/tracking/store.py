@@ -19,10 +19,17 @@ from __future__ import annotations
 import csv
 import json
 import os
+import re
 import shutil
 import time
 import uuid
 from typing import Any, Dict, Iterator, List, Optional
+
+#: Run ids are lowercase uuid4-hex prefixes (``create_run``). Anything else —
+#: path separators, ``.``/``..``, drive letters — is rejected before it ever
+#: touches the filesystem, so read endpoints can never traverse or create
+#: directories outside the store root.
+_RUN_ID_RE = re.compile(r"^[0-9a-f]{8,32}$")
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
@@ -49,11 +56,16 @@ class Run:
         self.run_dir = os.path.join(store.root, experiment_id, run_id)
         self.artifact_dir = os.path.join(self.run_dir, "artifacts")
         self._metrics_dir = os.path.join(self.run_dir, "metrics")
+
+    def _ensure_dirs(self) -> None:
+        # Deliberately NOT in __init__: constructing a Run (e.g. from a GET
+        # handler) must be side-effect-free; only write paths create dirs.
         os.makedirs(self.artifact_dir, exist_ok=True)
         os.makedirs(self._metrics_dir, exist_ok=True)
 
     # -- lifecycle -----------------------------------------------------
     def start(self) -> "Run":
+        self._ensure_dirs()
         meta = self.meta
         meta.setdefault("start_time", time.time())
         meta["status"] = "RUNNING"
@@ -81,6 +93,7 @@ class Run:
         self.log_params({key: value})
 
     def log_params(self, params: Dict[str, Any]) -> None:
+        os.makedirs(self.run_dir, exist_ok=True)
         path = os.path.join(self.run_dir, "params.json")
         merged = _read_json(path, {})
         merged.update({k: _jsonable(v) for k, v in params.items()})
@@ -91,12 +104,14 @@ class Run:
         return _read_json(os.path.join(self.run_dir, "params.json"), {})
 
     def set_tags(self, tags: Dict[str, str]) -> None:
+        os.makedirs(self.run_dir, exist_ok=True)
         meta = self.meta
         meta.setdefault("tags", {}).update(tags)
         _atomic_write_json(os.path.join(self.run_dir, "meta.json"), meta)
 
     # -- metrics -------------------------------------------------------
     def log_metric(self, key: str, value: float, step: int) -> None:
+        os.makedirs(self._metrics_dir, exist_ok=True)
         path = os.path.join(self._metrics_dir, f"{_safe(key)}.csv")
         new = not os.path.exists(path)
         with open(path, "a", newline="") as f:
@@ -122,6 +137,8 @@ class Run:
 
     @property
     def metric_names(self) -> List[str]:
+        if not os.path.isdir(self._metrics_dir):
+            return []
         return sorted(
             os.path.splitext(p)[0]
             for p in os.listdir(self._metrics_dir)
@@ -130,6 +147,7 @@ class Run:
 
     # -- artifacts -----------------------------------------------------
     def log_artifact(self, local_path: str, artifact_subdir: str = "") -> str:
+        self._ensure_dirs()
         dest_dir = os.path.join(self.artifact_dir, artifact_subdir)
         os.makedirs(dest_dir, exist_ok=True)
         dest = os.path.join(dest_dir, os.path.basename(local_path))
@@ -187,6 +205,7 @@ class TrackingStore:
     def create_run(self, experiment_id: str, run_name: Optional[str] = None) -> Run:
         run_id = uuid.uuid4().hex[:16]
         run = Run(self, experiment_id, run_id)
+        run._ensure_dirs()
         _atomic_write_json(
             os.path.join(run.run_dir, "meta.json"),
             {"run_id": run_id, "experiment_id": experiment_id,
@@ -196,6 +215,8 @@ class TrackingStore:
         return run
 
     def get_run(self, run_id: str) -> Run:
+        if not _RUN_ID_RE.match(run_id):
+            raise KeyError(f"invalid run id {run_id!r}")
         for exp_id in self.experiments():
             run_dir = os.path.join(self.root, exp_id, run_id)
             if os.path.isdir(run_dir):

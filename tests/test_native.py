@@ -76,3 +76,23 @@ def test_disable_env_fallback(monkeypatch):
     np.testing.assert_allclose(got[:2], [3.0, 5.0])
     assert np.isnan(got[2])
     monkeypatch.setattr(native, "_TRIED", False)  # let later tests rebuild
+
+def test_cf_unpack_fallback_bit_identical_to_native(monkeypatch):
+    """ADVICE r1: the numpy fallback must decode bit-for-bit like the C++
+    kernel (float64 intermediate), so results don't depend on g++."""
+    if not native.available():
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(7)
+    raw = rng.integers(-32000, 32000, size=(5000,), dtype=np.int16)
+    raw[:5] = -32767
+    # scale/offset chosen to be non-representable in float32
+    scale, offset = 1.8307457812500001e-03, 0.1234567890123456
+    via_native = native.cf_unpack(raw, scale, offset, -32767)
+
+    monkeypatch.setenv("DOWNGAN_DISABLE_NATIVE", "1")
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    via_numpy = native.cf_unpack(raw, scale, offset, -32767)
+    monkeypatch.setattr(native, "_TRIED", False)
+
+    assert np.array_equal(via_native, via_numpy, equal_nan=True)

@@ -145,3 +145,32 @@ def test_multihost_helpers_single_host():
     arr = make_global_batch(mesh, rows)
     assert arr.shape == (16, 1, 1, 1)
     np.testing.assert_array_equal(np.asarray(arr).ravel(), rows.ravel())
+
+
+def test_multihost_initialize_reraises_on_explicit_args(monkeypatch):
+    """ADVICE r1: a misconfigured pod job (explicit coordinator args) must
+    fail loudly; only the already-initialized case is tolerated."""
+    from downgan_tpu.parallel import multihost
+
+    def boom(**kw):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="connection refused"):
+        multihost.initialize(coordinator_address="127.0.0.1:9999",
+                             num_processes=2, process_id=0)
+
+    def already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    multihost.initialize(coordinator_address="127.0.0.1:9999",
+                         num_processes=2, process_id=0)  # tolerated
+
+    def noauto(**kw):
+        raise ValueError("cannot auto-detect")
+
+    monkeypatch.setattr(jax.distributed, "initialize", noauto)
+    multihost.initialize()  # no explicit args: degrade quietly
+    with pytest.raises(ValueError):
+        multihost.initialize(num_processes=2)

@@ -142,3 +142,82 @@ def test_server_blocks_path_escape(store):
         assert exc.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_get_run_rejects_traversal_ids(store):
+    """Run ids with path separators / dots must be rejected before any
+    filesystem access (ADVICE r1: GET handlers were state-changing)."""
+    store.create_experiment("exp")
+    for bad in ("..", ".", "../x", "a/b", "ARTIFACTS", "xyz!"):
+        with pytest.raises(KeyError):
+            store.get_run(bad)
+
+
+def test_run_construction_is_side_effect_free(store):
+    """Constructing a Run (as read endpoints do) must not mkdir anything."""
+    import os
+
+    from downgan_tpu.tracking.store import Run
+
+    eid = store.create_experiment("exp")
+    run = Run(store, eid, "deadbeefdeadbeef")
+    assert not os.path.exists(run.run_dir)
+    assert run.meta == {} and run.params == {} and run.metric_names == []
+    assert not os.path.exists(run.run_dir)  # reads created nothing
+
+
+def test_server_get_creates_no_dirs(store):
+    """A traversal GET must 404 without creating directories outside the
+    run tree (the pre-fix behavior mkdir'd root/<exp>/../{artifacts,metrics})."""
+    import os
+    import urllib.error
+
+    from downgan_tpu.tracking.server import serve
+
+    store.create_experiment("exp")
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for path in ("/run/..", "/artifact/../experiments.json",
+                     "/run/%2e%2e", "/metric/../x"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(base + path)
+            assert exc.value.code == 404
+        parent = os.path.dirname(store.root)
+        assert not os.path.exists(os.path.join(parent, "artifacts"))
+        assert not os.path.exists(os.path.join(store.root, "artifacts"))
+    finally:
+        server.shutdown()
+
+
+def test_artifact_sibling_dir_not_served(store):
+    """realpath-prefix weakness: <run>/artifacts_evil must NOT be served
+    even though its realpath startswith the artifact dir's realpath."""
+    import os
+    import urllib.error
+
+    from downgan_tpu.tracking.server import serve
+
+    eid = store.create_experiment("exp")
+    run = store.create_run(eid).start()
+    evil = run.artifact_dir + "_evil"
+    os.makedirs(evil)
+    with open(os.path.join(evil, "secret.txt"), "w") as f:
+        f.write("secret")
+
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"{base}/artifact/{run.run_id}/..%2fartifacts_evil%2fsecret.txt"
+            )
+        assert exc.value.code == 404
+    finally:
+        server.shutdown()
