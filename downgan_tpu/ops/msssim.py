@@ -77,11 +77,19 @@ def _ssim_per_channel(
 
 
 def _downsample(x: jax.Array) -> jax.Array:
-    """2x average pool with odd-size padding (pytorch_msssim convention)."""
+    """2x average pool with odd-size padding (pytorch_msssim convention).
+
+    The reference calls ``F.avg_pool2d(kernel_size=2, padding=[H%2, W%2])``;
+    torch's implicit pooling pad is symmetric, and with kernel 2 / stride 2
+    the bottom/right pad element never enters a window — so the equivalent
+    explicit form is a single zero at the TOP/LEFT of each odd axis, with
+    the pad counted in the divisor (count_include_pad=True -> always /4).
+    Verified against torch.nn.functional.avg_pool2d (tests/test_msssim.py).
+    """
     pad_h = x.shape[1] % 2
     pad_w = x.shape[2] % 2
     if pad_h or pad_w:
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (pad_h, 0), (pad_w, 0), (0, 0)))
     summed = lax.reduce_window(
         x, 0.0, lax.add, window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1), padding="VALID",

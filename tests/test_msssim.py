@@ -90,3 +90,127 @@ def test_msssim_metric_no_mutation():
     val = float(msssim_metric(x, y))
     np.testing.assert_array_equal(np.asarray(x), x_before)
     assert 0.0 <= val <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Full multi-scale oracle (VERDICT r1 #2): an independent pure-numpy
+# implementation of the complete MS-SSIM algorithm with pytorch_msssim's
+# conventions — 5 scales, separable gaussian window (VALID), relu-clamped
+# cs terms, odd-size zero-pad before each 2x average-pool downsample, and
+# the published weight exponents — so a wrong weight, pad, or clamp in
+# ops/msssim.py cannot silently diverge from the reference metric
+# (DoWnGAN/GAN/losses.py:12-38).
+# ---------------------------------------------------------------------------
+
+_MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _numpy_ssim_cs_per_channel(x, y, win_size=7, sigma=1.5, data_range=1.0):
+    """(ssim, cs) means per (B, C) for NHWC arrays — independent impl."""
+    from scipy.signal import convolve2d
+
+    coords = np.arange(win_size) - win_size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    g /= g.sum()
+    win = np.outer(g, g)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    B, _, _, C = x.shape
+    ssim_out = np.empty((B, C), np.float64)
+    cs_out = np.empty((B, C), np.float64)
+    for b in range(B):
+        for c in range(C):
+            xa, ya = x[b, :, :, c].astype(np.float64), y[b, :, :, c].astype(np.float64)
+            blur = lambda a: convolve2d(a, win, mode="valid")
+            mu_x, mu_y = blur(xa), blur(ya)
+            sxx = blur(xa * xa) - mu_x**2
+            syy = blur(ya * ya) - mu_y**2
+            sxy = blur(xa * ya) - mu_x * mu_y
+            cs = (2 * sxy + c2) / (sxx + syy + c2)
+            s = ((2 * mu_x * mu_y + c1) / (mu_x**2 + mu_y**2 + c1)) * cs
+            ssim_out[b, c] = s.mean()
+            cs_out[b, c] = cs.mean()
+    return ssim_out, cs_out
+
+
+def _numpy_avgpool2(x):
+    """2x avg-pool exactly as the reference does it: torch's
+    ``F.avg_pool2d(kernel_size=2, padding=[H%2, W%2])`` (pytorch_msssim's
+    downsample step), NHWC in/out."""
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    pad = [t.shape[2] % 2, t.shape[3] % 2]
+    out = F.avg_pool2d(t, kernel_size=2, padding=pad)
+    return out.numpy().transpose(0, 2, 3, 1)
+
+
+def _numpy_ms_ssim(x, y, win_size=7, data_range=1.0, weights=_MS_WEIGHTS):
+    """Full multi-scale SSIM oracle, mean over (B, C)."""
+    levels = len(weights)
+    mcs = []
+    ssim_val = None
+    for i in range(levels):
+        ssim_val, cs = _numpy_ssim_cs_per_channel(
+            x, y, win_size=win_size, data_range=data_range
+        )
+        if i < levels - 1:
+            mcs.append(np.maximum(cs, 0.0))
+            x, y = _numpy_avgpool2(x), _numpy_avgpool2(y)
+    stack = np.stack(mcs + [np.maximum(ssim_val, 0.0)], axis=0)  # (L, B, C)
+    w = np.asarray(weights)[:, None, None]
+    return float(np.mean(np.prod(stack**w, axis=0)))
+
+
+def test_ms_ssim_matches_numpy_oracle_random():
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 128, 128, 2).astype(np.float32)
+    y = np.clip(x + 0.08 * rng.randn(2, 128, 128, 2).astype(np.float32), 0, 1)
+    ours = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), win_size=7))
+    oracle = _numpy_ms_ssim(x, y, win_size=7)
+    assert ours == pytest.approx(oracle, abs=1e-4)
+
+
+def test_ms_ssim_matches_numpy_oracle_structured():
+    """Smooth structured fields (gaussian bumps + gradients) — the regime
+    where wrong pad/weight conventions show up most, since cs terms differ
+    strongly across scales."""
+    yy, xx = np.meshgrid(np.linspace(-2, 2, 128), np.linspace(-2, 2, 128),
+                         indexing="ij")
+    u = np.exp(-(xx**2 + yy**2)).astype(np.float32)
+    v = (0.5 + 0.5 * np.tanh(xx * 2)).astype(np.float32)
+    x = np.stack([np.stack([u, v], -1), np.stack([v, u], -1)])  # (2,128,128,2)
+    y = np.clip(x + 0.05 * np.sin(7 * xx)[None, :, :, None].astype(np.float32), 0, 1)
+    ours = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), win_size=7))
+    oracle = _numpy_ms_ssim(x, y, win_size=7)
+    assert ours == pytest.approx(oracle, abs=1e-4)
+
+
+def test_ms_ssim_matches_oracle_odd_size():
+    """A non-power-of-two size exercises the odd-pad downsample at several
+    scales (130 -> 65 -> 33 -> 17 -> 9)."""
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 130, 130, 2).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.randn(1, 130, 130, 2).astype(np.float32), 0, 1)
+    ours = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), win_size=3))
+    oracle = _numpy_ms_ssim(x, y, win_size=3)
+    assert ours == pytest.approx(oracle, abs=1e-4)
+
+
+def test_msssim_metric_matches_oracle_end_to_end():
+    """The full reference metric semantics: batch-global per-channel min-max
+    normalization of BOTH fields, then MS-SSIM win=7, data_range=1."""
+    rng = np.random.RandomState(5)
+    hr = (rng.randn(2, 128, 128, 2) * 4 + 1).astype(np.float32)
+    fake = (hr + 0.5 * rng.randn(*hr.shape)).astype(np.float32)
+
+    def norm(a):
+        mins = a.min(axis=(0, 1, 2), keepdims=True)
+        maxs = a.max(axis=(0, 1, 2), keepdims=True)
+        return (a - mins) / (maxs - mins)
+
+    ours = float(msssim_metric(jnp.asarray(hr), jnp.asarray(fake)))
+    oracle = _numpy_ms_ssim(norm(hr), norm(fake), win_size=7)
+    assert ours == pytest.approx(oracle, abs=1e-4)
