@@ -65,14 +65,21 @@ def cli() -> None:
 @click.option("--interactive", is_flag=True,
               help="Interactive experiment picker + run description (reference parity).")
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
-@click.option("--save-every", type=int, default=1)
+@click.option("--save-every", type=int, default=None,
+              help="Checkpoint cadence in epochs (default: hp.save_every).")
+@click.option("--print-every", type=int, default=None,
+              help="Progress-line cadence in epochs (default: hp.print_every).")
 @click.option("--plot-every", type=int, default=1)
+@click.option("--eof-lambda", type=float, default=None,
+              help="EOF-projection regularization weight on the generator "
+              "objective (hp.ncomp EOFs fit from the training fine fields).")
 @click.option("--tensorboard", is_flag=True,
               help="Also log metrics/figures to TensorBoard under the run's "
               "artifact dir (tracking/tensorboard.py).")
 def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
           synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
-          resume, interactive, mesh, save_every, plot_every, tensorboard) -> None:
+          resume, interactive, mesh, save_every, print_every, plot_every,
+          eof_lambda, tensorboard) -> None:
     """Train the WGAN-GP super-resolution model."""
     import jax
 
@@ -84,7 +91,7 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
 
     config = _load_config(
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
-        compute_dtype=compute_dtype, schedule=schedule,
+        compute_dtype=compute_dtype, schedule=schedule, eof_lambda=eof_lambda,
     )
 
     if synthetic:
@@ -119,7 +126,8 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
 
     trainer = Trainer(
         config, train_ds, test_ds, run=run, checkpoint_manager=ckpt,
-        mesh=mesh_obj, save_every=save_every, plot_every=plot_every,
+        mesh=mesh_obj, save_every=save_every, print_every=print_every,
+        plot_every=plot_every,
         tensorboard_dir=(os.path.join(run.artifact_dir, "tensorboard")
                          if tensorboard else None),
     )

@@ -105,8 +105,14 @@ class HyperParams:
     beta1: float = 0.9
     beta2: float = 0.99
     epochs: int = 1000
-    print_every: int = 250
-    save_every: int = 250
+    # Output cadences in EPOCHS, consumed by the Trainer: a verbose progress
+    # line every `print_every` epochs, a checkpoint every `save_every`
+    # epochs. The reference defines both as 250 but never consumes them
+    # (config/hyperparams.py:26-27 are dead constants); its live behavior
+    # logs models every epoch (mlflow_tools/mlflow_epoch.py:65-69), which is
+    # the parity default here.
+    print_every: int = 1
+    save_every: int = 1
 
     # Frequency-separation variant (reference hyperparams.py:28-33 +
     # wasserstein_fs.py): critic sees only the high-pass residual of an
@@ -120,6 +126,12 @@ class HyperParams:
     # (0.0 = off, the reference-parity default).
     divergence_lambda: float = 0.0
     vorticity_lambda: float = 0.0
+    # EOF-space regularization on the generator objective. The reference
+    # ships eof_loss (losses.py:72-116) and ncomp=75 (hyperparams.py:20)
+    # without wiring them into a trainer; eof_lambda > 0 turns the term on
+    # here — `ncomp` EOFs are fit from the training fine fields at staging
+    # and the generator is penalized for mismatched EOF projections.
+    eof_lambda: float = 0.0
 
     # Reference-quirk & semantics flags (new; the reference hard-codes these
     # behaviors implicitly).
@@ -163,6 +175,9 @@ class HyperParams:
             raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.print_every < 1 or self.save_every < 1:
+            raise ValueError("print_every/save_every are epoch cadences; "
+                             "both must be >= 1")
 
     @property
     def effective_gp_weight(self) -> float:

@@ -52,10 +52,12 @@ def build_dp_train_step(
     mesh: Mesh,
     with_metrics: bool = True,
     donate_state: bool = True,
+    eof_components=None,
 ) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
     """Jit the fused train step with DP shardings over ``mesh``."""
     builder, ndim, batch_axis = _step_builder(config)
-    step_fn = builder(config, gen, critic, with_metrics=with_metrics)
+    step_fn = builder(config, gen, critic, with_metrics=with_metrics,
+                      eof_components=eof_components)
     rep = replicated(mesh)
     bat = batch_sharding(mesh, ndim=ndim, batch_axis=batch_axis)
     return jax.jit(
@@ -73,6 +75,7 @@ def build_dp_epoch_scan(
     mesh: Mesh,
     with_metrics: bool = True,
     donate_state: bool = True,
+    eof_components=None,
 ) -> Callable[..., Tuple[GANTrainState, Metrics]]:
     """One compiled DP program per epoch.
 
@@ -82,7 +85,8 @@ def build_dp_epoch_scan(
     sharding constraint splits it over the data axis for the step.
     """
     builder, ndim, batch_axis = _step_builder(config)
-    train_step = builder(config, gen, critic, with_metrics=with_metrics)
+    train_step = builder(config, gen, critic, with_metrics=with_metrics,
+                         eof_components=eof_components)
     spec = [None] * ndim
     spec[batch_axis] = DATA_AXIS
     bat_spec = P(*spec)

@@ -53,10 +53,12 @@ class Trainer:
         run=None,
         checkpoint_manager=None,
         mesh=None,
-        save_every: int = 1,
+        save_every: Optional[int] = None,
         plot_every: int = 1,
+        print_every: Optional[int] = None,
         tensorboard_dir: Optional[str] = None,
         verbose: bool = True,
+        eof_components=None,
     ):
         self.config = config
         self.train_ds = train
@@ -64,9 +66,23 @@ class Trainer:
         self.run = run
         self.ckpt = checkpoint_manager
         self.mesh = mesh
-        self.save_every = save_every
+        # Cadence knobs default to the hyperparameters (hp.save_every /
+        # hp.print_every, epoch units) so the config fully drives the run.
+        self.save_every = config.hp.save_every if save_every is None else save_every
+        self.print_every = config.hp.print_every if print_every is None else print_every
         self.plot_every = plot_every
         self.verbose = verbose
+
+        if config.hp.eof_lambda and eof_components is None:
+            # Fit the EOF basis from the training fine fields at staging
+            # (the analogue of the reference's sklearn-PCA prep feeding
+            # eof_loss, prep_gan.py:226-255 + losses.py:72-116).
+            from downgan_tpu.data.eof import fit_eofs_per_channel
+
+            eof_components = fit_eofs_per_channel(
+                np.asarray(train.fine), config.hp.ncomp
+            )
+        self.eof_components = eof_components
 
         self.tb = None
         if tensorboard_dir is not None:
@@ -83,8 +99,12 @@ class Trainer:
             from downgan_tpu.parallel.mesh import replicate_state
 
             self.state = replicate_state(mesh, self.state)
-            self._epoch_fn = build_dp_epoch_scan(config, self.gen, self.critic, mesh)
-            self._step_fn = build_dp_train_step(config, self.gen, self.critic, mesh)
+            self._epoch_fn = build_dp_epoch_scan(
+                config, self.gen, self.critic, mesh,
+                eof_components=self.eof_components)
+            self._step_fn = build_dp_train_step(
+                config, self.gen, self.critic, mesh,
+                eof_components=self.eof_components)
         else:
             from downgan_tpu.training.wgan import build_fused_round
 
@@ -92,10 +112,14 @@ class Trainer:
                 build_fused_round if config.hp.schedule == "fused" else build_train_step
             )
             self._epoch_fn = jax.jit(
-                build_epoch_scan(config, self.gen, self.critic), donate_argnums=(0,)
+                build_epoch_scan(config, self.gen, self.critic,
+                                 eof_components=self.eof_components),
+                donate_argnums=(0,),
             )
             self._step_fn = jax.jit(
-                step_builder(config, self.gen, self.critic), donate_argnums=(0,)
+                step_builder(config, self.gen, self.critic,
+                             eof_components=self.eof_components),
+                donate_argnums=(0,),
             )
         self._eval_fn = jax.jit(build_eval_metrics(config, self.gen, self.critic))
         self._eval_scan = jax.jit(build_eval_scan(config, self.gen, self.critic))
@@ -215,7 +239,7 @@ class Trainer:
             if self.ckpt is not None and self.epoch % self.save_every == 0:
                 self.ckpt.save(self.epoch, self.state)
 
-            if self.verbose:
+            if self.verbose and self.epoch % self.print_every == 0:
                 dt = time.perf_counter() - t0
                 msg = ", ".join(f"{k}={v:.4g}" for k, v in sorted(train_means.items()))
                 print(f"epoch {self.epoch} [{dt:.1f}s] {msg}", flush=True)

@@ -74,7 +74,8 @@ def gradient_penalty(
     return jnp.mean(jnp.square(norms - 1.0))
 
 
-def make_loss_fns(config: Config, gen: Generator, critic: Critic):
+def make_loss_fns(config: Config, gen: Generator, critic: Critic,
+                  eof_components: Any = None):
     """Shared loss builders for both step variants.
 
     Returns ``(split_bands, critic_loss_fn, gen_loss_fn)``:
@@ -82,11 +83,26 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic):
       * generator loss: -gamma * E[C(fake)] + content_lambda * L1
         (wasserstein.py:74-78), in freq-sep mode split into high-pass
         adversarial / low-pass content bands (wasserstein_fs.py:37-88),
-        plus the optional physics regularizers.
+        plus the optional physics regularizers (divergence/vorticity,
+        losses.py:119-193) and the EOF-projection term (losses.py:72-116):
+        when ``hp.eof_lambda > 0``, ``eof_components`` must be the
+        (>=ncomp, C, H*W) EOF stack fit from the training fine fields
+        (``data.eof.fit_eofs_per_channel``); the leading ``hp.ncomp``
+        components are used, consuming the reference's ncomp=75 knob
+        (hyperparams.py:20).
     """
     hp = config.hp
     g_apply = gen.apply
     c_apply = critic.apply
+
+    eof_comps = None
+    if hp.eof_lambda:
+        if eof_components is None:
+            raise ValueError(
+                "hp.eof_lambda > 0 requires eof_components (fit them from "
+                "the training fine fields with data.eof.fit_eofs_per_channel)"
+            )
+        eof_comps = jnp.asarray(eof_components)[: hp.ncomp]
 
     def split_bands(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         lo = low_pass(x, hp.filter_size)
@@ -123,6 +139,10 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic):
             from downgan_tpu.ops.losses import vorticity_loss
 
             loss = loss + hp.vorticity_lambda * vorticity_loss(fine, fake)
+        if hp.eof_lambda:
+            from downgan_tpu.ops.losses import eof_loss
+
+            loss = loss + hp.eof_lambda * eof_loss(eof_comps, fine, fake)
         return loss
 
     return split_bands, critic_loss_fn, gen_loss_fn
@@ -141,6 +161,7 @@ def build_train_step(
     gen: Generator,
     critic: Critic,
     with_metrics: bool = True,
+    eof_components: Any = None,
 ) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
     """Builds the pure (un-jitted) WGAN-GP train step.
 
@@ -158,7 +179,9 @@ def build_train_step(
 
     g_apply = gen.apply
     c_apply = critic.apply
-    split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(config, gen, critic)
+    split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(
+        config, gen, critic, eof_components=eof_components
+    )
 
     def train_step(
         state: GANTrainState, coarse: jax.Array, fine: jax.Array, rng: jax.Array
@@ -235,6 +258,7 @@ def build_fused_round(
     gen: Generator,
     critic: Critic,
     with_metrics: bool = True,
+    eof_components: Any = None,
 ) -> Callable[[GANTrainState, jax.Array, jax.Array, jax.Array], Tuple[GANTrainState, Metrics]]:
     """SURVEY §7 fast path (b): one fused round = ``critic_iterations``
     critic updates on distinct minibatches + exactly one generator update.
@@ -250,7 +274,9 @@ def build_fused_round(
     tx = make_optimizer(config)
     g_apply = gen.apply
     c_apply = critic.apply
-    split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(config, gen, critic)
+    split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(
+        config, gen, critic, eof_components=eof_components
+    )
 
     def fused_round(
         state: GANTrainState, coarse_n: jax.Array, fine_n: jax.Array, rng: jax.Array
@@ -364,6 +390,7 @@ def build_epoch_scan(
     gen: Generator,
     critic: Critic,
     with_metrics: bool = True,
+    eof_components: Any = None,
 ) -> Callable[..., Tuple[GANTrainState, Metrics]]:
     """One compiled program per epoch: lax.scan of the train step over
     permutation indices into the device-resident dataset.
@@ -376,9 +403,11 @@ def build_epoch_scan(
     iteration; the epoch mean is one reduction at the end.
     """
     if config.hp.schedule == "fused":
-        step_fn = build_fused_round(config, gen, critic, with_metrics=with_metrics)
+        step_fn = build_fused_round(config, gen, critic, with_metrics=with_metrics,
+                                    eof_components=eof_components)
     else:
-        step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
+        step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics,
+                                   eof_components=eof_components)
 
     def epoch_fn(
         state: GANTrainState,
