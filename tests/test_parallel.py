@@ -174,3 +174,33 @@ def test_multihost_initialize_reraises_on_explicit_args(monkeypatch):
     multihost.initialize()  # no explicit args: degrade quietly
     with pytest.raises(ValueError):
         multihost.initialize(num_processes=2)
+
+
+def test_dp_full_metric_registry_128px_matches_single_device():
+    """VERDICT r1 #3: the full metric pass (incl. MS-SSIM, whose min-max
+    normalization takes batch-GLOBAL min/max) must be invariant to batch
+    sharding. 128px fields (the real metric size), full registry, 8-way DP
+    step == single-device step."""
+    hp = HyperParams(batch_size=8)  # default registry: MAE/MSE/MSSSIM/Wass
+    config = Config(coarse_size=16, fine_size=128, filters=8,
+                    num_res_blocks=1, hp=hp)
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+    rng_np = np.random.default_rng(0)
+    coarse = rng_np.standard_normal((8, 16, 16, 7)).astype(np.float32)
+    fine = rng_np.standard_normal((8, 128, 128, 2)).astype(np.float32)
+
+    single = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    s1, m1 = single(state, jnp.asarray(coarse), jnp.asarray(fine), rng)
+
+    mesh = make_mesh()
+    dp = build_dp_train_step(config, gen, critic, mesh, with_metrics=True,
+                             donate_state=False)
+    state_r = replicate_state(mesh, create_state(config, jax.random.PRNGKey(0)))
+    coarse_s, fine_s = shard_batch(mesh, coarse, fine)
+    s2, m2 = dp(state_r, coarse_s, fine_s, rng)
+
+    assert set(m1) == set(m2) and "MSSSIM" in m1
+    for k in m1:
+        assert float(m1[k]) == pytest.approx(float(m2[k]), rel=2e-4, abs=1e-6), k
