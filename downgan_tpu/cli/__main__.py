@@ -162,28 +162,64 @@ def prepare_data(config_path, region) -> None:
 @cli.command()
 @click.option("--config", "config_path", type=click.Path(exists=True), default=None)
 @click.option("--region", "-r", type=click.Choice(list(REGIONS)), default=None)
-@click.option("--checkpoint", "-c", required=True, help="Checkpoint directory.")
+@click.option("--checkpoint", "-c", default=None, help="Checkpoint directory.")
+@click.option("--run", "run_id", default=None,
+              help="Tracked run id to restore from (parity with the "
+              "reference's run-hash restore, gen_fake_ds.py -h): resolves "
+              "the run's checkpoints and logged config through the store.")
+@click.option("--tracking-root", default="experiments",
+              help="Tracking store root for --run resolution.")
 @click.option("--epoch", "-e", type=int, default=None, help="Checkpoint step (default latest).")
 @click.option("--weights-only", is_flag=True, help="Checkpoint holds bare generator params.")
-@click.option("--out", "-o", default="generated.nc")
+@click.option("--out", "-o", default=None,
+              help="Output NetCDF (default: generated.nc, or the run's "
+              "artifact dir under --run, like gen_fake_ds.py:52).")
 @click.option("--synthetic", is_flag=True, help="Generate from synthetic covariates.")
+@click.option("--raw-covariates", is_flag=True,
+              help="Rebuild the standardized coarse covariate stack from "
+              "RAW NetCDFs in this command (parity with "
+              "gen_fake_ds.py:92-144) instead of reading preprocessed files.")
+@click.option("--subset", type=click.Choice(["train", "test"]), default="test",
+              help="Which year-mask subset to generate for with "
+              "--raw-covariates (the reference generates the test years).")
 @click.option("--samples", type=int, default=100)
 @click.option("--tile-rows", type=int, default=0,
               help="Overlap-tile the lat axis for domains taller than the "
               "training patch (0 = whole-field forward).")
 @click.option("--overlap", type=int, default=8, help="Tile context rows per side.")
-def generate(config_path, region, checkpoint, epoch, weights_only, out, synthetic,
-             samples, tile_rows, overlap) -> None:
+def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
+             weights_only, out, synthetic, raw_covariates, subset, samples,
+             tile_rows, overlap) -> None:
     """Generate super-resolved fields from a trained checkpoint and write
     them to NetCDF (parity with helpers/gen_fake_ds.py)."""
     from downgan_tpu.data.staging import load_preprocessed
     from downgan_tpu.inference import (
         generate_fields,
+        rebuild_coarse_covariates,
+        resolve_run_checkpoint,
         restore_generator_params,
         write_generated_netcdf,
     )
 
-    config = _load_config(config_path, region)
+    if (checkpoint is None) == (run_id is None):
+        raise click.UsageError("pass exactly one of --checkpoint or --run")
+
+    run_config = None
+    if run_id is not None:
+        run, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
+        if out is None:
+            out = os.path.join(run.artifact_dir, "generated_ds.nc")
+    if out is None:
+        out = "generated.nc"
+
+    if config_path:
+        config = _load_config(config_path, region)
+    elif run_config is not None:
+        config = run_config.replace(region=region) if region else run_config
+    else:
+        config = _load_config(None, region)
+
+    times = None
     if synthetic:
         from downgan_tpu.data.dataset import synthetic_dataset
 
@@ -192,6 +228,8 @@ def generate(config_path, region, checkpoint, epoch, weights_only, out, syntheti
             fine_size=config.fine_size, n_covariates=config.n_covariates,
             n_predictands=config.n_predictands, seed=config.seed,
         )
+    elif raw_covariates:
+        coarse, times = rebuild_coarse_covariates(config, subset=subset)
     else:
         coarse, _, _, _ = load_preprocessed(config)
 
@@ -204,7 +242,13 @@ def generate(config_path, region, checkpoint, epoch, weights_only, out, syntheti
                                     tile_rows=tile_rows, overlap=overlap)
     else:
         fields = generate_fields(config, g_params, coarse)
-    write_generated_netcdf(out, fields, var_names=("u10", "v10"))
+    import numpy as np
+
+    if times is not None:
+        times = np.asarray(times)
+        if times.dtype.kind == "M":  # datetime64 -> epoch seconds
+            times = times.astype("datetime64[s]").astype("float64")
+    write_generated_netcdf(out, fields, var_names=("u10", "v10"), times=times)
     click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
 
 

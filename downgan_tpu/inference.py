@@ -10,7 +10,8 @@ transfers batched per chunk, fp32 output.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+import os
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,79 @@ from downgan_tpu.config.config import Config
 from downgan_tpu.data.netcdf import write_netcdf
 from downgan_tpu.training.state import make_models
 from downgan_tpu.utils.checkpoint import CheckpointManager, load_params
+
+
+def resolve_run_checkpoint(
+    tracking_root: str, run_id: str
+) -> Tuple[object, str, Optional[Config]]:
+    """Run-hash-driven restore (parity with ``gen_fake_ds.py:51,152-154``,
+    which loads the generator out of the MLflow run's artifact dir by
+    run-hash + epoch): resolve a tracked run id to ``(run, checkpoint_dir,
+    logged_config)``.
+
+    The checkpoint dir is the Trainer's artifact layout
+    (``<run>/artifacts/checkpoints``); the config is the one the run logged
+    at start (``<run>/artifacts/config.json``), so inference reconstructs
+    the exact trained model without the caller re-specifying shapes.
+    """
+    from downgan_tpu.tracking.store import TrackingStore
+
+    store = TrackingStore(tracking_root)
+    run = store.get_run(run_id)
+    ckpt_dir = os.path.join(run.artifact_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        raise FileNotFoundError(
+            f"run {run_id} has no checkpoints under {ckpt_dir}; "
+            "was it trained with a checkpoint manager?"
+        )
+    config = None
+    cfg_path = os.path.join(run.artifact_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = Config.from_json(f.read())
+    return run, ckpt_dir, config
+
+
+def rebuild_coarse_covariates(
+    config: Config, subset: str = "test"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rebuild the standardized coarse covariate stack from RAW NetCDFs
+    inside the inference flow (parity with the reference's
+    ``mask_and_standardize_coarse``, ``gen_fake_ds.py:92-144``): select the
+    subset's times (test = the complement of the train year-mask, exactly
+    the reference's ``~filter_times``), drop the bad first WRF field
+    (``time_mask[0] = False``, ``gen_fake_ds.py:101``), standardize each
+    covariate over the SELECTED subset itself (the reference calls
+    ``xr_standardize_field`` on the masked fields), pass the land-sea mask
+    through unstandardized, and stack in registry order.
+
+    Returns ``(coarse, times)``: NHWC float32 stack + the selected times.
+    """
+    from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
+    from downgan_tpu.data.pipeline import standardize_all, to_nhwc
+    from downgan_tpu.data.staging import load_covariates, load_fine
+    from downgan_tpu.data.times import filter_times
+
+    if subset not in ("train", "test"):
+        raise ValueError(f"subset must be 'train' or 'test', got {subset!r}")
+    times = None
+    if config.fine_paths:
+        _, times = load_fine(config)
+    if times is None:
+        times = np.asarray(config.range_datetimes)
+    cov = load_covariates(config, len(times))
+    n_times = min(len(times), next(iter(cov.values())).shape[0])
+    times = times[:n_times]
+
+    train_mask = filter_times(times, mask_years=config.mask_years)
+    sel = train_mask.copy() if subset == "train" else ~train_mask
+    sel[0] = False
+    selected = {k: v[:n_times][sel] for k, v in cov.items()}
+    standardized, _ = standardize_all(selected)
+    coarse = np.stack(
+        [standardized[k] for k in COVARIATE_NAMES_ORDERED], axis=1
+    )
+    return to_nhwc(coarse).astype(np.float32), times[sel]
 
 
 def restore_generator_params(
