@@ -33,7 +33,7 @@ from downgan_tpu.training.wgan import (
     build_eval_scan,
     build_train_step,
 )
-from downgan_tpu.utils.plots import gen_grid_images
+from downgan_tpu.utils.plots import gen_grid_images, grid_sample_indices
 
 
 class Trainer:
@@ -209,12 +209,16 @@ class Trainer:
     def _plot_split(self, split: str, ds: DeviceDataset) -> None:
         if self.run is None:
             return
-        bs = min(self.config.hp.batch_size, len(ds))
-        coarse = np.asarray(ds.coarse[:bs])
-        real = np.asarray(ds.fine[:bs])
-        fake = np.asarray(self._gen_fwd(self.state.g_params, ds.coarse[:bs]))
+        # Fixed-seed random-20 selection with replacement + fake regenerated
+        # only for the chosen samples (parity with gen_grid_plots.py:17-19).
+        idx = grid_sample_indices(len(ds), n_samples=20)
+        sel = jnp.asarray(idx)
+        coarse_sel = jnp.take(ds.coarse, sel, axis=0)
+        real = np.asarray(jnp.take(ds.fine, sel, axis=0))
+        fake = np.asarray(self._gen_fwd(self.state.g_params, coarse_sel))
         gen_grid_images(
-            self.run.artifact_dir, coarse, fake, real, self.epoch, split,
+            self.run.artifact_dir, np.asarray(coarse_sel), fake, real,
+            self.epoch, split, select=False,
         )
 
     # -- main loop -----------------------------------------------------

@@ -41,6 +41,20 @@ def make_grid(
     return grid
 
 
+def grid_sample_indices(
+    pool_size: int, n_samples: int = 20, seed: int = 0
+) -> np.ndarray:
+    """Fixed-seed random sample selection WITH replacement.
+
+    Parity with the reference's selection (``gen_grid_plots.py:17-18``:
+    ``torch.manual_seed(0); torch.randint(0, hp.batch_size, (20,))`` —
+    randint samples with replacement, so ``n_samples`` can exceed the
+    pool). Deterministic: the same (pool_size, seed) always selects the
+    same indices, so successive epochs grid the same samples.
+    """
+    return np.random.default_rng(seed).integers(0, pool_size, size=n_samples)
+
+
 def gen_grid_images(
     artifact_dir: str,
     coarse: np.ndarray,
@@ -51,26 +65,33 @@ def gen_grid_images(
     n_samples: int = 20,
     seed: int = 0,
     cmap: str = "viridis",
+    select: bool = True,
 ) -> str:
     """Fixed-seed sample selection + 3-row coarse/fake/real figure.
 
     Parity with ``gen_grid_plots.py:9-61``: ``n_samples`` samples chosen
-    with a fixed seed, channel 0 gridded per row, saved to
-    ``<artifact_dir>/train_images.png`` (fixed name, every epoch) and
-    ``..._epoch_<N>.png`` every 10th epoch. Inputs are NHWC numpy arrays.
+    with a fixed seed (with replacement — see :func:`grid_sample_indices`),
+    channel 0 gridded per row, saved to ``<artifact_dir>/train_images.png``
+    (fixed name, every epoch) and ``..._epoch_<N>.png`` every 10th epoch.
+    Inputs are NHWC numpy arrays. ``select=False`` grids the rows as given
+    (for callers that pre-selected, e.g. to regenerate fake only for the
+    chosen samples the way the reference does, ``gen_grid_plots.py:19``).
     """
-    rng = np.random.default_rng(seed)
-    n = min(n_samples, coarse.shape[0])
-    idx = rng.choice(coarse.shape[0], size=n, replace=False)
+    if select:
+        idx = grid_sample_indices(coarse.shape[0], n_samples, seed)
+    else:
+        idx = np.arange(coarse.shape[0])
 
     rows = {
         "Coarse": coarse[idx, :, :, 0],
         "Generated": fake[idx, :, :, 0],
         "Real": real[idx, :, :, 0],
     }
+    n = len(idx)
     fig, axes = plt.subplots(3, 1, figsize=(16, 8))
     for ax, (title, imgs) in zip(axes, rows.items()):
-        ax.imshow(make_grid(np.asarray(imgs), nrow=n), cmap=cmap, origin="lower")
+        # 10 samples per grid row (reference layout, gen_grid_plots.py:23,28,33)
+        ax.imshow(make_grid(np.asarray(imgs), nrow=min(n, 10)), cmap=cmap, origin="lower")
         ax.set_title(title)
         ax.axis("off")
     fig.tight_layout()

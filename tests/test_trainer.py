@@ -164,3 +164,50 @@ def test_checkpoint_retention(tmp_path):
     assert mngr.latest_step() == 4
     assert list(mngr.all_steps()) == [3, 4]
     mngr.close()
+
+
+def test_grid_sample_indices_reference_semantics():
+    """VERDICT r1 #7: grid-plot sampling is fixed-seed random WITH
+    replacement (torch.manual_seed(0); torch.randint(0, batch, (20,)) in
+    gen_grid_plots.py:17-18) — deterministic across calls, can repeat
+    indices, always returns n_samples even for small pools."""
+    from downgan_tpu.utils.plots import grid_sample_indices
+
+    a = grid_sample_indices(32, n_samples=20, seed=0)
+    b = grid_sample_indices(32, n_samples=20, seed=0)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (20,)
+    assert a.min() >= 0 and a.max() < 32
+    # pinned selection for (pool=32, n=20, seed=0) — any change to the
+    # selection semantics must update this deliberately
+    np.testing.assert_array_equal(
+        a, np.random.default_rng(0).integers(0, 32, size=20))
+    # with replacement: a 3-sample pool still yields 20 (duplicated) rows
+    small = grid_sample_indices(3, n_samples=20, seed=0)
+    assert small.shape == (20,) and len(np.unique(small)) <= 3
+
+    # different seed -> different selection
+    c = grid_sample_indices(32, n_samples=20, seed=1)
+    assert not np.array_equal(a, c)
+
+
+def test_plot_split_uses_fixed_seed_selection(tmp_path):
+    """The Trainer grids the SAME fixed-seed random selection each epoch
+    (not the first batch rows), regenerating fake for the selection."""
+    from downgan_tpu.data.dataset import DeviceDataset
+    from downgan_tpu.tracking import TrackingStore
+    from downgan_tpu.training.trainer import Trainer
+
+    config = Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+                    hp=HyperParams(batch_size=4, epochs=1,
+                                   metrics_to_calculate=("MAE", "MSE", "Wass")))
+    rng = np.random.default_rng(0)
+    ds = DeviceDataset.from_numpy(
+        rng.standard_normal((16, 8, 8, 7)).astype(np.float32),
+        rng.standard_normal((16, 32, 32, 2)).astype(np.float32),
+    )
+    store = TrackingStore(str(tmp_path / "exps"))
+    run = store.create_run(store.create_experiment("plots")).start()
+    trainer = Trainer(config, ds, run=run, verbose=False)
+    trainer._plot_split("train", ds)
+    assert os.path.exists(os.path.join(run.artifact_dir, "train_images.png"))
