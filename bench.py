@@ -18,7 +18,9 @@ the BASELINE.json north-star framing (>=5x A100 on v5e-8).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Env knobs: BENCH_BATCH (64), BENCH_SCAN_STEPS (50), BENCH_REPS (5),
 BENCH_DTYPE (float32), BENCH_METRICS (1), BENCH_MODE (train|infer —
-infer measures generator-forward SR throughput in patches/sec).
+infer measures generator-forward SR throughput in patches/sec), and the
+fast-path toggles BENCH_REMAT / BENCH_FUSED_CRITIC / BENCH_REUSE_FAKE
+(all 0 = reference-parity semantics).
 """
 from __future__ import annotations
 
@@ -98,7 +100,13 @@ def main() -> None:
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     with_metrics = os.environ.get("BENCH_METRICS", "1") == "1"
 
-    config = Config(hp=HyperParams(batch_size=batch, compute_dtype=dtype))
+    config = Config(hp=HyperParams(
+        batch_size=batch,
+        compute_dtype=dtype,
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        fused_critic_pass=os.environ.get("BENCH_FUSED_CRITIC", "0") == "1",
+        metrics_reuse_fake=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
+    ))
     mesh = make_mesh()
     gen, critic = make_models(config)
     state = replicate_state(mesh, create_state(config, jax.random.PRNGKey(0)))

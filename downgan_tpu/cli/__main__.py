@@ -187,9 +187,14 @@ def prepare_data(config_path, region) -> None:
               help="Overlap-tile the lat axis for domains taller than the "
               "training patch (0 = whole-field forward).")
 @click.option("--overlap", type=int, default=8, help="Tile context rows per side.")
+@click.option("--tile-cols", type=int, default=0,
+              help="Also overlap-tile the lon axis (0 = whole-width bands).")
+@click.option("--tiles-per-dispatch", type=int, default=8,
+              help="Tiles folded into one device dispatch (amortizes the "
+              "host fetch round-trip).")
 def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
              weights_only, out, synthetic, raw_covariates, subset, samples,
-             tile_rows, overlap) -> None:
+             tile_rows, overlap, tile_cols, tiles_per_dispatch) -> None:
     """Generate super-resolved fields from a trained checkpoint and write
     them to NetCDF (parity with helpers/gen_fake_ds.py)."""
     from downgan_tpu.data.staging import load_preprocessed
@@ -239,7 +244,9 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         from downgan_tpu.parallel.spatial import tiled_sr_inference
 
         fields = tiled_sr_inference(config, g_params, coarse,
-                                    tile_rows=tile_rows, overlap=overlap)
+                                    tile_rows=tile_rows, overlap=overlap,
+                                    tile_cols=tile_cols,
+                                    tiles_per_dispatch=tiles_per_dispatch)
     else:
         fields = generate_fields(config, g_params, coarse)
     import numpy as np

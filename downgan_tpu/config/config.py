@@ -163,6 +163,14 @@ class HyperParams:
     # (the reference regenerates: mlflow_epoch.py:54). Saves one full G
     # forward per step; metrics lag the params by one update.
     metrics_reuse_fake: bool = False
+    # Fast path: evaluate the critic on real+fake as ONE concatenated 2B
+    # batch wherever the two passes are independent (critic loss means,
+    # Wass metric, eval). TPU executes one op at a time, so two B-sized
+    # conv chains serialize — one 2B chain halves the critic's dispatch
+    # count and doubles per-op MXU occupancy. Identical math per sample;
+    # off by default only to preserve the bit-determinism story (XLA may
+    # tile a 2B conv differently from a B conv at the last ulp).
+    fused_critic_pass: bool = False
 
     def __post_init__(self) -> None:
         if not self.drop_last:

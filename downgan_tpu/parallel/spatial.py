@@ -91,14 +91,28 @@ def tiled_sr_inference(
     coarse: np.ndarray,
     tile_rows: int = 16,
     overlap: int = 8,
+    tile_cols: int = 0,
+    tiles_per_dispatch: int = 8,
 ) -> np.ndarray:
-    """Full-domain super-resolution by overlap-tiling the lat axis.
+    """Full-domain super-resolution by 2-D overlap tiling.
 
-    ``coarse``: (B, H, W, C) with H arbitrary (e.g. a whole 432-row ERA
-    grid, vs the model's 16-row training patches). Each band of
-    ``tile_rows`` rows is evaluated with ``overlap`` extra rows of context
-    on each side; only the interior fine rows are kept. One compiled
-    program serves every band (fixed band height; edge bands are padded).
+    ``coarse``: (B, H, W, C) with H (and, with ``tile_cols``, W) arbitrary
+    — e.g. a whole 432-row ERA grid, vs the model's 16-row training
+    patches. Each tile of ``tile_rows`` x ``tile_cols`` coarse cells is
+    evaluated with ``overlap`` extra cells of context per side; only the
+    interior fine cells are kept. Tiles slide fully inside the domain (no
+    synthetic padding): at the edges the overlap grows inward, so tile
+    boundaries coincide with true domain boundaries and edge cells see
+    exactly the context whole-field evaluation sees.
+
+    ``tile_cols=0`` (default) tiles the lat axis only, with each band
+    spanning the full lon extent. Set it for domains too wide for HBM.
+
+    Host round-trips are amortized: up to ``tiles_per_dispatch`` tiles are
+    folded into the generator's batch axis per device dispatch (tiles are
+    independent samples to a conv net), so a full domain costs
+    ``ceil(n_tiles*B / tiles_per_dispatch)`` fetches — not one ~30 ms
+    tunnel round-trip per tile (PERF.md measurement rule).
     """
     from downgan_tpu.training.state import make_models
 
@@ -106,24 +120,47 @@ def tiled_sr_inference(
     fwd = jax.jit(gen.apply)
     sf = config.scale_factor
     b, h, w, c = coarse.shape
-    band = tile_rows + 2 * overlap
+    band_h = tile_rows + 2 * overlap
+    band_w = tile_cols + 2 * overlap if tile_cols else w
 
-    if h < band:
-        raise ValueError(f"domain height {h} smaller than band {band}; "
+    if h < band_h:
+        raise ValueError(f"domain height {h} smaller than band {band_h}; "
                          "reduce tile_rows/overlap or run the field whole")
+    if tile_cols and w < band_w:
+        raise ValueError(f"domain width {w} smaller than band {band_w}; "
+                         "reduce tile_cols/overlap or leave tile_cols=0")
+
+    row_starts = list(range(0, h, tile_rows))
+    col_starts = list(range(0, w, tile_cols)) if tile_cols else [0]
+
+    # Gather every (sample, tile) block into one (N, band_h, band_w, C)
+    # stack; N = B * n_tiles flat indices.
+    blocks, places = [], []
+    for bi in range(b):
+        for rs in row_starts:
+            r_lo = min(max(rs - overlap, 0), h - band_h)
+            for cs in col_starts:
+                c_lo = min(max(cs - overlap, 0), w - band_w) if tile_cols else 0
+                blocks.append(coarse[bi, r_lo : r_lo + band_h, c_lo : c_lo + band_w])
+                places.append((bi, rs, r_lo, cs, c_lo))
+    stack = np.asarray(blocks, np.float32)
 
     out = np.zeros((b, h * sf, w * sf, config.n_predictands), np.float32)
-    for start in range(0, h, tile_rows):
-        # Slide the band fully inside the domain (no synthetic padding):
-        # at the edges the "overlap" simply grows inward, so the band's own
-        # boundary coincides with the true domain boundary and edge rows
-        # see exactly the context the whole-field evaluation sees.
-        lo = min(max(start - overlap, 0), h - band)
-        block = coarse[:, lo : lo + band]
-        fine = np.asarray(fwd(g_params, jnp.asarray(block, jnp.float32)))
-        keep_lo = (start - lo) * sf
-        n_rows = min(tile_rows, h - start) * sf
-        out[:, start * sf : start * sf + n_rows] = fine[:, keep_lo : keep_lo + n_rows]
+    k = max(1, tiles_per_dispatch)
+    for start in range(0, len(blocks), k):
+        chunk = stack[start : start + k]
+        pad = k - chunk.shape[0]
+        if pad:  # keep one compiled program for the ragged tail
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)])
+        fine = np.asarray(fwd(g_params, jnp.asarray(chunk)))
+        for j, (bi, rs, r_lo, cs, c_lo) in enumerate(places[start : start + k]):
+            n_rows = min(tile_rows, h - rs) * sf
+            n_cols = min(tile_cols, w - cs) * sf if tile_cols else w * sf
+            kr = (rs - r_lo) * sf
+            kc = (cs - c_lo) * sf
+            out[bi, rs * sf : rs * sf + n_rows, cs * sf : cs * sf + n_cols] = (
+                fine[j, kr : kr + n_rows, kc : kc + n_cols]
+            )
     return out
 
 

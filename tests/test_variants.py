@@ -160,6 +160,33 @@ def test_bfloat16_step_stays_finite():
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_fused_critic_pass_matches_unfused():
+    """hp.fused_critic_pass batches the independent critic forwards into
+    one 2B apply; same math — the full step's outputs must agree."""
+    rng = jax.random.PRNGKey(0)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+    outs = {}
+    for fused in (False, True):
+        config = tiny_config(fused_critic_pass=fused)
+        gen, critic = make_models(config)
+        state = create_state(config, jax.random.PRNGKey(0))
+        step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+        new_state, metrics = step(state, coarse, fine, rng)
+        outs[fused] = (new_state, metrics)
+    for k in outs[False][1]:
+        np.testing.assert_allclose(float(outs[False][1][k]),
+                                   float(outs[True][1][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # XLA may tile a 2B conv differently from a B conv (last-ulp output
+    # differences); Adam's m/sqrt(v) normalization can amplify those to
+    # O(lr) in the applied update, so params agree to ~2*lr, not ulp.
+    a = jax.tree.leaves(outs[False][0].c_params)
+    b = jax.tree.leaves(outs[True][0].c_params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
+
+
 def test_physics_regularized_generator_loss():
     """divergence/vorticity lambdas change the G update when enabled."""
     rng = jax.random.PRNGKey(0)
