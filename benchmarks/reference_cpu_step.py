@@ -155,6 +155,21 @@ def main() -> None:
         + g_fwd_flops + 2 * c_fwd_flops                   # metric pass
     )
 
+    # Dispatched-op count for the step (batch-independent): every aten op
+    # in eager mode is >=1 CUDA kernel launch on a GPU, so this measures
+    # the step's kernel-granularity floor for the A100 derivation.
+    n_ops = 0
+    if os.environ.get("REF_COUNT_OPS", "0") == "1":
+        from torch.profiler import ProfilerActivity, profile
+
+        with profile(activities=[ProfilerActivity.CPU]) as prof:
+            reference_step(G, C, g_opt, c_opt, coarse, fine)
+        # top-level aten dispatches only (nested expansions like
+        # convolution -> _convolution -> mkldnn_convolution collapse to
+        # one GPU kernel launch each)
+        n_ops = sum(1 for e in prof.events()
+                    if e.name.startswith("aten::") and e.cpu_parent is None)
+
     reference_step(G, C, g_opt, c_opt, coarse, fine)  # warm
     times = []
     for _ in range(reps):
@@ -180,6 +195,7 @@ def main() -> None:
         "utilization_vs_matmul_peak": round(achieved / peak, 3),
         "anomaly_mode": os.environ.get("REF_ANOMALY", "0") == "1",
         "msssim_included": False,
+        "dispatched_ops_per_step": n_ops,
     }))
 
 
