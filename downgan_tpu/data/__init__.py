@@ -1,5 +1,5 @@
 from downgan_tpu.data.netcdf import NetCDFFile, read_variable, write_netcdf  # noqa: F401
-from downgan_tpu.data.times import datetime_wrf_period, wrf_to_dt, filter_times  # noqa: F401
+from downgan_tpu.data.times import datetime_wrf_period, dt_index, wrf_to_dt, filter_times  # noqa: F401
 from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset  # noqa: F401
 from downgan_tpu.data.pipeline import (  # noqa: F401
     crop_array,
@@ -26,6 +26,7 @@ from downgan_tpu.data.regrid import (  # noqa: F401
 )
 from downgan_tpu.data.staging import (  # noqa: F401
     generate_train_test_coarse_fine,
+    load_data,
     load_preprocessed,
     stage_datasets,
     write_preprocessed,

@@ -56,6 +56,48 @@ def _read_var_multifile(path_or_glob: str, var: str) -> Tuple[np.ndarray, Option
     return data, t
 
 
+def load_data(
+    fine_paths: Dict[str, str], coarse_path: str
+) -> Dict[str, object]:
+    """Open the legacy prep library's raw inputs in one call (parity with
+    ``DoWnGAN/helpers/prep_gan.py:81-111`` ``load_data``): the fine U/V
+    multi-file sets (glob patterns, concatenated along time) and the
+    coarse UV NetCDF with latitude sorted ascending.
+
+    Returns ``{"fine_u": (arr, times), "fine_v": (arr, times),
+    "coarse": {var: arr, ..., "latitude": lat, "longitude": lon}}`` as
+    numpy arrays (the reference returns lazy xarray datasets; here reads
+    are one eager pass through the h5py layer).
+    """
+    out: Dict[str, object] = {}
+    for key, var in (("fine_u", "u10"), ("fine_v", "v10")):
+        arr, t = _read_var_multifile(fine_paths[var.upper()[0]], var)
+        if t is not None and t.dtype.kind == "f":
+            t = wrf_to_dt(t)
+        out[key] = (arr, t)
+
+    coarse: Dict[str, np.ndarray] = {}
+    with NetCDFFile(coarse_path) as f:
+        lat_name = next((n for n in f.coordinate_names
+                         if NON_STANDARD_ATTRIBUTES.get(n, n) == "lat"), None)
+        order = None
+        if lat_name is not None:
+            lat = np.asarray(f.coord(lat_name))
+            order = np.argsort(lat, kind="stable")  # sortby ascending
+            coarse["latitude"] = lat[order]
+        for n in f.coordinate_names:
+            std = NON_STANDARD_ATTRIBUTES.get(n, n)
+            if std == "lon":
+                coarse["longitude"] = np.asarray(f.coord(n))
+        for n in f.variable_names:
+            arr = np.asarray(f.variable(n).data, dtype=np.float64)
+            if order is not None and arr.ndim >= 2:
+                arr = np.take(arr, order, axis=-2)  # (.., lat, lon) layout
+            coarse[n] = arr
+    out["coarse"] = coarse
+    return out
+
+
 def load_fine(config: Config) -> Tuple[Dict[str, np.ndarray], Optional[np.ndarray]]:
     """Load + crop the fine-resolution predictands (reference
     ``load_fine``, ``gen_experiment_datasets.py:60-98``). Returns

@@ -37,6 +37,16 @@ def wrf_to_dt(times: Iterable[float]) -> np.ndarray:
     return np.array(out, dtype="datetime64[ns]").astype("datetime64[D]")
 
 
+def dt_index(times: Iterable[float]) -> np.ndarray:
+    """Parity alias for the legacy prep library's ``dt_index``
+    (``DoWnGAN/helpers/prep_gan.py:55-67``), which duplicates
+    ``wrf_times.wrf_to_dt`` with identical YYYYMMDD.fraction decoding and
+    day-resolution truncation. Returns datetime64[D] (the reference wraps
+    the same values in a pandas DatetimeIndex; this layer is numpy-first).
+    """
+    return wrf_to_dt(times)
+
+
 def filter_times(
     times: Sequence, mask_years: Optional[Sequence[int]] = None
 ) -> np.ndarray:

@@ -178,6 +178,53 @@ def test_generate_train_test_from_raw_netcdfs(tmp_path):
     assert abs(ft.mean()) < 0.2
 
 
+def test_legacy_load_data_parity(tmp_path):
+    """prep_gan.load_data parity (prep_gan.py:81-111): fine U/V multifile
+    sets concatenated along time, coarse file with latitude sorted
+    ascending (xarray sortby semantics)."""
+    from downgan_tpu.data.netcdf import write_netcdf
+    from downgan_tpu.data.staging import load_data
+    from downgan_tpu.data.times import dt_index, wrf_to_dt
+
+    rng = np.random.default_rng(0)
+    fine_paths = {}
+    for var in ("U", "V"):
+        for part, times in (("a", [20000101.0, 20000101.25]),
+                            ("b", [20000101.5, 20000101.75])):
+            p = str(tmp_path / f"fine_{var}_{part}.nc")
+            write_netcdf(
+                p,
+                variables={f"{var}10": rng.standard_normal((2, 6, 8)).astype(np.float32)},
+                dims={f"{var}10": ("Times", "lat", "lon")},
+                coords={"Times": np.asarray(times)},
+            )
+        fine_paths[var] = str(tmp_path / f"fine_{var}_*.nc")
+
+    lat_desc = np.array([30.0, 20.0, 10.0])
+    u = rng.standard_normal((4, 3, 5)).astype(np.float32)
+    coarse_p = str(tmp_path / "coarse.nc")
+    write_netcdf(
+        coarse_p,
+        variables={"u10": u},
+        dims={"u10": ("time", "latitude", "longitude")},
+        coords={"time": np.arange(4.0), "latitude": lat_desc,
+                "longitude": np.arange(5.0)},
+    )
+
+    out = load_data(fine_paths, coarse_p)
+    fu, fu_t = out["fine_u"]
+    assert fu.shape == (4, 6, 8)  # two files concatenated along time
+    np.testing.assert_array_equal(
+        fu_t, wrf_to_dt([20000101.0, 20000101.25, 20000101.5, 20000101.75]))
+    coarse = out["coarse"]
+    np.testing.assert_array_equal(coarse["latitude"], [10.0, 20.0, 30.0])
+    # variables reordered along lat to match, and cast to float64
+    np.testing.assert_allclose(coarse["u10"], u[:, ::-1], atol=0)
+    assert coarse["u10"].dtype == np.float64
+    # dt_index is the documented alias of wrf_to_dt (prep_gan.py:55-67)
+    np.testing.assert_array_equal(dt_index([20000101.5]), wrf_to_dt([20000101.5]))
+
+
 # --- inference path -------------------------------------------------------
 
 def test_generate_fields_chunking_consistency():
