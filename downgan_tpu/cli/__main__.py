@@ -268,19 +268,31 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
 @click.option("-p", "--port", type=int, default=8080)
 @click.option("--serving-batch", type=int, default=0,
               help="Compiled batch size (0 = config.chunk_size).")
-def serve(config_path, checkpoint, epoch, weights_only, host, port, serving_batch) -> None:
+@click.option("--coalesce/--no-coalesce", default=True,
+              help="Batch concurrent requests into one device dispatch "
+              "(BatchingSRModel) instead of serializing them.")
+@click.option("--max-wait-ms", type=float, default=5.0,
+              help="How long the coalescer lingers for stragglers once the "
+              "first request of a batch arrives.")
+def serve(config_path, checkpoint, epoch, weights_only, host, port,
+          serving_batch, coalesce, max_wait_ms) -> None:
     """Serve super-resolution inference over HTTP (POST .npy covariates to
     /v1/generate; GET /healthz). No reference equivalent — the serving
     layer for production deployment."""
     from downgan_tpu.inference import restore_generator_params
-    from downgan_tpu.serving import SRModel, serve_model
+    from downgan_tpu.serving import BatchingSRModel, SRModel, serve_model
 
     config = _load_config(config_path, None)
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only)
-    model = SRModel(config, g_params, batch_size=serving_batch)
+    if coalesce:
+        model = BatchingSRModel(config, g_params, batch_size=serving_batch,
+                                max_wait_ms=max_wait_ms)
+    else:
+        model = SRModel(config, g_params, batch_size=serving_batch)
     server = serve_model(model, host, port)
-    click.echo(f"SR inference on http://{host}:{port} (batch {model.batch})")
+    click.echo(f"SR inference on http://{host}:{port} (batch {model.batch}, "
+               f"coalesce={coalesce})")
     server.serve_forever()
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -69,6 +70,102 @@ class SRModel:
                 fake = np.asarray(self._fwd(self._params, jnp.asarray(block, jnp.float32)))
                 outs.append(fake[: self.batch - pad] if pad else fake)
         return np.concatenate(outs, axis=0)
+
+
+class BatchingSRModel(SRModel):
+    """SRModel with cross-request batching (production serving path).
+
+    :class:`SRModel` serializes concurrent requests on a lock, so N
+    clients sending small requests pay N device dispatches. This variant
+    coalesces: requests enqueue their samples and a worker thread drains
+    the queue — waiting up to ``max_wait_ms`` for stragglers once the
+    first request arrives — then runs ONE padded forward over the union
+    and scatters the slices back. Per-sample results are identical to
+    :meth:`SRModel.generate` (same compiled program, same padding).
+
+    No reference equivalent (the reference's only inference surface is a
+    batch CLI, ``helpers/gen_fake_ds.py``).
+    """
+
+    def __init__(self, config: Config, g_params, batch_size: int = 0,
+                 max_request_samples: int = 8192, max_wait_ms: float = 5.0):
+        super().__init__(config, g_params, batch_size=batch_size,
+                         max_request_samples=max_request_samples)
+        self.max_wait_ms = max_wait_ms
+        self.dispatch_count = 0  # device dispatches (observability/tests)
+        self._queue: "list[tuple[np.ndarray, list, threading.Event]]" = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._worker = threading.Thread(target=self._drain_loop, daemon=True)
+        self._worker.start()
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5)
+
+    def generate(self, coarse: np.ndarray) -> np.ndarray:
+        if coarse.ndim != 4 or coarse.shape[1:] != (
+            self.config.coarse_size, self.config.coarse_size, self.config.n_covariates
+        ):
+            raise ValueError(
+                f"expected (N, {self.config.coarse_size}, {self.config.coarse_size}, "
+                f"{self.config.n_covariates}) float32, got {coarse.shape}"
+            )
+        slot: list = [None]
+        done = threading.Event()
+        with self._cv:
+            self._queue.append((np.asarray(coarse, np.float32), slot, done))
+            self._cv.notify()
+        done.wait()
+        if isinstance(slot[0], BaseException):
+            raise slot[0]
+        return slot[0]
+
+    # -- worker ------------------------------------------------------------
+    def _drain_loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._queue:
+                    return
+                # First request in hand: linger briefly so concurrent
+                # clients coalesce into the same device batch.
+                deadline = time.monotonic() + self.max_wait_ms / 1e3
+                while (sum(a.shape[0] for a, _, _ in self._queue) < self.batch
+                       and not self._stop):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                work, self._queue = self._queue, []
+            try:
+                union = np.concatenate([a for a, _, _ in work], axis=0)
+                outs = []
+                for start in range(0, union.shape[0], self.batch):
+                    block = union[start : start + self.batch]
+                    pad = self.batch - block.shape[0]
+                    if pad:
+                        block = np.concatenate(
+                            [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
+                        )
+                    fake = np.asarray(
+                        self._fwd(self._params, jnp.asarray(block, jnp.float32))
+                    )
+                    self.dispatch_count += 1
+                    outs.append(fake[: self.batch - pad] if pad else fake)
+                fields = np.concatenate(outs, axis=0)
+                offset = 0
+                for arr, slot, done in work:
+                    slot[0] = fields[offset : offset + arr.shape[0]]
+                    offset += arr.shape[0]
+                    done.set()
+            except BaseException as exc:  # deliver the failure to every waiter
+                for _, slot, done in work:
+                    slot[0] = exc
+                    done.set()
 
 
 def _npy_bytes(arr: np.ndarray) -> bytes:

@@ -114,6 +114,63 @@ def test_oversized_request_rejected_413(served):
         assert exc.value.code == 413
 
 
+def test_batching_model_coalesces_and_matches():
+    """BatchingSRModel: concurrent requests coalesce into fewer device
+    dispatches, and every client's slice is exactly SRModel's output."""
+    from downgan_tpu.serving import BatchingSRModel, SRModel
+
+    config = tiny_config()
+    gen, _ = make_models(config)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 7)))
+    plain = SRModel(config, params, batch_size=8)
+    model = BatchingSRModel(config, params, batch_size=8, max_wait_ms=50.0)
+    try:
+        rng = np.random.default_rng(7)
+        inputs = [rng.standard_normal((2, 8, 8, 7)).astype(np.float32)
+                  for _ in range(8)]
+        expected = [plain.generate(x) for x in inputs]
+
+        results = [None] * len(inputs)
+        start = threading.Barrier(len(inputs))
+
+        def worker(i):
+            start.wait()
+            results[i] = model.generate(inputs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(inputs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for got, want in zip(results, expected):
+            np.testing.assert_allclose(got, want, atol=1e-6)
+        # 8 requests x 2 samples = 16 samples -> 2 full batches of 8, far
+        # fewer than the 8 dispatches the lock-serialized model would pay.
+        # (Timing-dependent upper bound: even with zero coalescing it is
+        # <= 8; assert we actually did better than one-dispatch-per-request.)
+        assert model.dispatch_count < len(inputs), model.dispatch_count
+    finally:
+        model.close()
+
+
+def test_batching_model_rejects_bad_shape_and_survives():
+    """A bad request fails its own caller; the worker keeps serving."""
+    from downgan_tpu.serving import BatchingSRModel
+
+    config = tiny_config()
+    gen, _ = make_models(config)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 7)))
+    model = BatchingSRModel(config, params, batch_size=4)
+    try:
+        with pytest.raises(ValueError):
+            model.generate(np.zeros((1, 5, 5, 7), np.float32))
+        ok = model.generate(np.zeros((3, 8, 8, 7), np.float32))
+        assert ok.shape == (3, 32, 32, 2)
+    finally:
+        model.close()
+
+
 def test_concurrent_clients_get_correct_results(served):
     """VERDICT r1 #10: the jit lock is the thread-safety mechanism — hammer
     /v1/generate from many threads and check every response is exact."""
