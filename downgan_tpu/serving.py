@@ -9,6 +9,8 @@ first reuses one compiled program.
 
 Protocol:
   * ``GET /healthz``                -> ``{"status": "ok", ...}``
+  * ``GET /metrics``                -> request/sample/dispatch counters +
+    p50/p95 request latency (observability)
   * ``POST /v1/generate`` with a .npy body of coarse covariates
     (N, h, w, C) float32        -> .npy body of generated (N, H, W, P)
 
@@ -17,6 +19,7 @@ Run: ``python -m downgan_tpu.cli serve --checkpoint <dir>``.
 """
 from __future__ import annotations
 
+import collections
 import io
 import json
 import threading
@@ -43,6 +46,13 @@ class SRModel:
         self._fwd = jax.jit(gen.apply)
         self._params = g_params
         self._lock = threading.Lock()
+        # Observability counters (GET /metrics): requests/samples served,
+        # device dispatches, recent request latencies for p50/p95.
+        self.dispatch_count = 0
+        self._stats_lock = threading.Lock()
+        self._requests = 0
+        self._samples = 0
+        self._latencies_ms: "collections.deque[float]" = collections.deque(maxlen=512)
         # Request-body cap: the largest legal payload is max_request_samples
         # coarse patches (float32) plus npy header slack. Anything larger is
         # rejected with 413 BEFORE the body is read, so one oversized request
@@ -59,6 +69,7 @@ class SRModel:
                 f"{self.config.n_covariates}) float32, got {coarse.shape}"
             )
         outs = []
+        t0 = time.perf_counter()
         with self._lock:  # one compiled program, serialized TPU access
             for start in range(0, coarse.shape[0], self.batch):
                 block = coarse[start : start + self.batch]
@@ -68,8 +79,30 @@ class SRModel:
                         [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
                     )
                 fake = np.asarray(self._fwd(self._params, jnp.asarray(block, jnp.float32)))
+                self.dispatch_count += 1
                 outs.append(fake[: self.batch - pad] if pad else fake)
+        self._record(coarse.shape[0], time.perf_counter() - t0)
         return np.concatenate(outs, axis=0)
+
+    def _record(self, n_samples: int, seconds: float) -> None:
+        with self._stats_lock:
+            self._requests += 1
+            self._samples += n_samples
+            self._latencies_ms.append(seconds * 1e3)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            pct = (lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 2)) \
+                if lat else (lambda p: None)
+            return {
+                "requests": self._requests,
+                "samples": self._samples,
+                "dispatches": self.dispatch_count,
+                "serving_batch": self.batch,
+                "latency_ms_p50": pct(0.50),
+                "latency_ms_p95": pct(0.95),
+            }
 
 
 class BatchingSRModel(SRModel):
@@ -115,12 +148,14 @@ class BatchingSRModel(SRModel):
             )
         slot: list = [None]
         done = threading.Event()
+        t0 = time.perf_counter()
         with self._cv:
             self._queue.append((np.asarray(coarse, np.float32), slot, done))
             self._cv.notify()
         done.wait()
         if isinstance(slot[0], BaseException):
             raise slot[0]
+        self._record(coarse.shape[0], time.perf_counter() - t0)
         return slot[0]
 
     # -- worker ------------------------------------------------------------
@@ -198,6 +233,9 @@ class _Handler(BaseHTTPRequestHandler):
                 "generator_arch": cfg.generator_arch,
             }).encode()
             self._send(200, body, "application/json")
+        elif self.path == "/metrics":
+            self._send(200, json.dumps(self.model.stats()).encode(),
+                       "application/json")
         else:
             self._send(404, b"{}", "application/json")
 

@@ -36,6 +36,10 @@ from downgan_tpu.training.wgan import (
 from downgan_tpu.utils.plots import gen_grid_images, grid_sample_indices
 
 
+class NonFiniteLossError(RuntimeError):
+    """Training diverged: an epoch's mean metrics contain NaN/Inf."""
+
+
 class Trainer:
     """WGAN-GP trainer over device-resident datasets.
 
@@ -59,6 +63,7 @@ class Trainer:
         tensorboard_dir: Optional[str] = None,
         verbose: bool = True,
         eof_components=None,
+        halt_on_nonfinite: bool = True,
     ):
         self.config = config
         self.train_ds = train
@@ -72,6 +77,11 @@ class Trainer:
         self.print_every = config.hp.print_every if print_every is None else print_every
         self.plot_every = plot_every
         self.verbose = verbose
+        # Production guard (no reference equivalent — the reference trains
+        # on through NaNs): halt with a clear error on the first epoch
+        # whose mean metrics go non-finite, BEFORE checkpointing, so the
+        # latest checkpoint on disk stays a good restore point.
+        self.halt_on_nonfinite = halt_on_nonfinite
 
         if config.hp.eof_lambda and eof_components is None:
             # Fit the EOF basis from the training fine fields at staging
@@ -230,6 +240,15 @@ class Trainer:
             rng = jax.random.fold_in(base_rng, self.epoch)
             train_means = self._run_train_epoch(rng)
             self._log_epoch("train", train_means)
+            if self.halt_on_nonfinite:
+                bad = {k: v for k, v in train_means.items() if not np.isfinite(v)}
+                if bad:
+                    raise NonFiniteLossError(
+                        f"non-finite training metrics at epoch {self.epoch}: "
+                        f"{sorted(bad)} — state not checkpointed; restore the "
+                        f"last checkpoint and lower lr / inspect data "
+                        f"(set halt_on_nonfinite=False to train through)"
+                    )
 
             if self.epoch % self.plot_every == 0:
                 self._plot_split("train", self.train_ds)

@@ -200,3 +200,17 @@ def test_concurrent_clients_get_correct_results(served):
     for i, (got, want) in enumerate(zip(results, expected)):
         assert got is not None, f"client {i} got no response"
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"client {i}")
+
+
+def test_metrics_endpoint(served):
+    """GET /metrics reports request/sample/dispatch counters + latency."""
+    from downgan_tpu.serving import generate_remote
+
+    _, _, _, url = served
+    generate_remote(url, np.zeros((5, 8, 8, 7), np.float32))
+    info = json.loads(urllib.request.urlopen(f"{url}/metrics").read())
+    assert info["requests"] >= 1
+    assert info["samples"] >= 5
+    assert info["dispatches"] >= 2  # 5 samples at serving batch 4
+    assert info["latency_ms_p50"] is not None
+    assert info["serving_batch"] == 4

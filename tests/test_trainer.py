@@ -211,3 +211,24 @@ def test_plot_split_uses_fixed_seed_selection(tmp_path):
     trainer = Trainer(config, ds, run=run, verbose=False)
     trainer._plot_split("train", ds)
     assert os.path.exists(os.path.join(run.artifact_dir, "train_images.png"))
+
+
+def test_halt_on_nonfinite_guard(tmp_path):
+    """Divergence halts with NonFiniteLossError BEFORE checkpointing, so
+    the last checkpoint on disk stays a good restore point."""
+    from downgan_tpu.training.trainer import NonFiniteLossError
+
+    config = tiny_config(lr=1e12, epochs=5)  # guaranteed blow-up
+    train_ds, test_ds = tiny_datasets(config)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    trainer = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt,
+                      verbose=False, plot_every=10**9)
+    with pytest.raises(NonFiniteLossError, match="non-finite training metrics"):
+        trainer.train()
+    assert ckpt.latest_step() is None  # diverged at epoch 0: nothing saved
+
+    # opting out trains through (reference behavior)
+    trainer2 = Trainer(config, train_ds, test_ds, verbose=False,
+                       plot_every=10**9, halt_on_nonfinite=False)
+    trainer2.train(epochs=1)
+    assert trainer2.epoch == 1
