@@ -261,7 +261,11 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
 
 @cli.command()
 @click.option("--config", "config_path", type=click.Path(exists=True), default=None)
-@click.option("--checkpoint", "-c", required=True, help="Checkpoint directory.")
+@click.option("--checkpoint", "-c", default=None, help="Checkpoint directory.")
+@click.option("--run", "run_id", default=None,
+              help="Serve a tracked run's checkpoints (resolved through the "
+              "tracking store, like `generate --run`).")
+@click.option("--tracking-root", default="experiments")
 @click.option("--epoch", "-e", type=int, default=None)
 @click.option("--weights-only", is_flag=True)
 @click.option("--host", default="0.0.0.0")
@@ -274,15 +278,25 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
 @click.option("--max-wait-ms", type=float, default=5.0,
               help="How long the coalescer lingers for stragglers once the "
               "first request of a batch arrives.")
-def serve(config_path, checkpoint, epoch, weights_only, host, port,
-          serving_batch, coalesce, max_wait_ms) -> None:
+def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
+          host, port, serving_batch, coalesce, max_wait_ms) -> None:
     """Serve super-resolution inference over HTTP (POST .npy covariates to
-    /v1/generate; GET /healthz). No reference equivalent — the serving
-    layer for production deployment."""
-    from downgan_tpu.inference import restore_generator_params
+    /v1/generate; GET /healthz, /metrics). No reference equivalent — the
+    serving layer for production deployment."""
+    from downgan_tpu.inference import resolve_run_checkpoint, restore_generator_params
     from downgan_tpu.serving import BatchingSRModel, SRModel, serve_model
 
-    config = _load_config(config_path, None)
+    if (checkpoint is None) == (run_id is None):
+        raise click.UsageError("pass exactly one of --checkpoint or --run")
+    run_config = None
+    if run_id is not None:
+        _, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
+    if config_path:
+        config = _load_config(config_path, None)
+    elif run_config is not None:
+        config = run_config
+    else:
+        config = _load_config(None, None)
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only)
     if coalesce:

@@ -215,3 +215,12 @@ def test_generate_raw_covariates_cli(tmp_path):
         assert np.all(np.isfinite(u10))
         times = f.coord("time")
         assert len(times) == 3
+
+
+def test_serve_requires_exactly_one_source():
+    """`serve` mirrors `generate`: exactly one of --checkpoint/--run."""
+    result = CliRunner().invoke(cli, ["serve"])
+    assert result.exit_code != 0
+    assert "exactly one of --checkpoint or --run" in result.output
+    result = CliRunner().invoke(cli, ["serve", "--checkpoint", "x", "--run", "y"])
+    assert result.exit_code != 0
