@@ -50,8 +50,12 @@ def initialize(
     except RuntimeError as exc:
         # Tolerate only the already-initialized case; a misconfigured pod
         # job with explicit coordinator args must fail loudly, not silently
-        # degrade to single-host training.
-        if "already initialized" in str(exc).lower():
+        # degrade to single-host training. jax 0.9 phrases the repeat-call
+        # error "distributed.initialize should only be called once." and
+        # the late-call error "...must be called before any JAX calls".
+        msg = str(exc).lower()
+        if ("should only be called once" in msg
+                or "already initialized" in msg):
             return
         if explicit:
             raise

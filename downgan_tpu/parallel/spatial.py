@@ -147,23 +147,25 @@ def tiled_sr_inference(
     row_starts = list(range(0, h, tile_rows))
     col_starts = list(range(0, w, tile_cols)) if tile_cols else [0]
 
-    # Gather every (sample, tile) block into one (N, band_h, band_w, C)
-    # stack; N = B * n_tiles flat indices.
-    blocks, places = [], []
+    # Tile METADATA only — (sample, row start, row window lo, col start,
+    # col window lo) per tile; blocks are sliced per dispatch chunk below
+    # so host memory stays O(tiles_per_dispatch * band), not O(domain * 2-4x).
+    places = []
     for bi in range(b):
         for rs in row_starts:
             r_lo = min(max(rs - overlap, 0), h - band_h)
             for cs in col_starts:
                 c_lo = min(max(cs - overlap, 0), w - band_w) if tile_cols else 0
-                blocks.append(coarse[bi, r_lo : r_lo + band_h, c_lo : c_lo + band_w])
                 places.append((bi, rs, r_lo, cs, c_lo))
-    stack = np.asarray(blocks, np.float32)
 
     out = np.zeros((b, h * sf, w * sf, config.n_predictands), np.float32)
     k = max(1, tiles_per_dispatch)
-    for start in range(0, len(blocks), k):
-        chunk = stack[start : start + k]
+    for start in range(0, len(places), k):
         sel = places[start : start + k]
+        chunk = np.stack(
+            [coarse[bi, r_lo : r_lo + band_h, c_lo : c_lo + band_w]
+             for bi, _, r_lo, _, c_lo in sel]
+        ).astype(np.float32, copy=False)
         pad = k - chunk.shape[0]
         if pad:  # keep one compiled program for the ragged tail
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)])

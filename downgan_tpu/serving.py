@@ -22,6 +22,7 @@ from __future__ import annotations
 import collections
 import io
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -93,7 +94,8 @@ class SRModel:
     def stats(self) -> dict:
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
-            pct = (lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 2)) \
+            # nearest-rank percentile: index ceil(p*n) - 1
+            pct = (lambda p: round(lat[max(0, math.ceil(p * len(lat) - 1e-9) - 1)], 2)) \
                 if lat else (lambda p: None)
             return {
                 "requests": self._requests,
@@ -150,6 +152,8 @@ class BatchingSRModel(SRModel):
         done = threading.Event()
         t0 = time.perf_counter()
         with self._cv:
+            if self._stop:
+                raise RuntimeError("BatchingSRModel is closed")
             self._queue.append((np.asarray(coarse, np.float32), slot, done))
             self._cv.notify()
         done.wait()
@@ -252,10 +256,18 @@ class _Handler(BaseHTTPRequestHandler):
                 }).encode(), "application/json")
                 return
             coarse = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
-            fields = self.model.generate(np.asarray(coarse, np.float32))
-            self._send(200, _npy_bytes(fields), "application/octet-stream")
-        except (ValueError, OSError) as exc:
+        except (ValueError, OSError, EOFError) as exc:  # bad .npy body
             self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
+            return
+        try:
+            fields = self.model.generate(np.asarray(coarse, np.float32))
+        except ValueError as exc:  # shape rejection
+            self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
+            return
+        except Exception as exc:  # device/worker failure: answer, don't reset
+            self._send(503, json.dumps({"error": str(exc)}).encode(), "application/json")
+            return
+        self._send(200, _npy_bytes(fields), "application/octet-stream")
 
 
 def serve_model(model: SRModel, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPServer:

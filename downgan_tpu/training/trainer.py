@@ -75,6 +75,11 @@ class Trainer:
         # hp.print_every, epoch units) so the config fully drives the run.
         self.save_every = config.hp.save_every if save_every is None else save_every
         self.print_every = config.hp.print_every if print_every is None else print_every
+        if self.save_every < 1 or self.print_every < 1 or plot_every < 1:
+            raise ValueError(
+                "save_every/print_every/plot_every are epoch cadences and "
+                "must be >= 1 (use a huge value to effectively disable)"
+            )
         self.plot_every = plot_every
         self.verbose = verbose
         # Production guard (no reference equivalent — the reference trains

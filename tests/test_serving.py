@@ -214,3 +214,28 @@ def test_metrics_endpoint(served):
     assert info["dispatches"] >= 2  # 5 samples at serving batch 4
     assert info["latency_ms_p50"] is not None
     assert info["serving_batch"] == 4
+
+
+def test_batching_model_close_rejects_new_requests():
+    from downgan_tpu.serving import BatchingSRModel
+
+    config = tiny_config()
+    gen, _ = make_models(config)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 7)))
+    model = BatchingSRModel(config, params, batch_size=4)
+    model.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        model.generate(np.zeros((1, 8, 8, 7), np.float32))
+
+
+def test_empty_body_gets_400_not_reset(served):
+    """An empty POST body (np.load -> EOFError) must answer 400, not kill
+    the handler thread with a connection reset."""
+    _, _, _, url = served
+    req = urllib.request.Request(
+        f"{url}/v1/generate", data=b"",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 400
