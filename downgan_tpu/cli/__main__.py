@@ -310,6 +310,85 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
     server.serve_forever()
 
 
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--region", type=click.Choice(list(REGIONS)), default=None)
+@click.option("--checkpoint", "-c", default=None, help="Checkpoint directory.")
+@click.option("--run", "run_id", default=None,
+              help="Evaluate a tracked run's checkpoints (like generate --run).")
+@click.option("--tracking-root", default="experiments")
+@click.option("--epoch", "-e", type=int, default=None,
+              help="Checkpoint step to evaluate (default: latest).")
+@click.option("--synthetic", is_flag=True, help="Evaluate on the synthetic dataset.")
+@click.option("--samples", type=int, default=128, help="Synthetic sample count.")
+@click.option("--split", type=click.Choice(["train", "test"]), default="test",
+              help="Which preprocessed split to evaluate (parity with the "
+              "reference's per-epoch test pass, wasserstein.py:157-169).")
+@click.option("--out", type=click.Path(), default=None,
+              help="Also write the metric means to this JSON file.")
+def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
+             synthetic, samples, split, out) -> None:
+    """Standalone test-set metric pass from a checkpoint: the metric
+    registry (hp.metrics_to_calculate) over a whole split as one compiled
+    scan, printed as one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
+    from downgan_tpu.inference import resolve_run_checkpoint
+    from downgan_tpu.training.state import create_state, make_models
+    from downgan_tpu.training.wgan import build_eval_scan
+    from downgan_tpu.utils.checkpoint import CheckpointManager
+
+    if (checkpoint is None) == (run_id is None):
+        raise click.UsageError("pass exactly one of --checkpoint or --run")
+    run_config = None
+    if run_id is not None:
+        _, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
+    if config_path:
+        config = _load_config(config_path, region)
+    elif run_config is not None:
+        config = run_config.replace(region=region) if region else run_config
+    else:
+        config = _load_config(None, region)
+
+    if synthetic:
+        coarse, fine = synthetic_dataset(
+            n_samples=samples, coarse_size=config.coarse_size,
+            fine_size=config.fine_size, n_covariates=config.n_covariates,
+            n_predictands=config.n_predictands, seed=config.seed,
+        )
+        ds = DeviceDataset.from_numpy(coarse, fine)
+    else:
+        from downgan_tpu.data.staging import load_preprocessed
+
+        ct, ft, cv, fv = load_preprocessed(config)
+        ds = (DeviceDataset.from_numpy(ct, ft) if split == "train"
+              else DeviceDataset.from_numpy(cv, fv))
+
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(config.seed))
+    state = CheckpointManager(checkpoint).restore(state, step=epoch)
+
+    bs = config.hp.batch_size
+    if len(ds) < bs:
+        raise click.UsageError(
+            f"split has {len(ds)} samples < batch_size {bs} (drop-last)")
+    perm = ds.epoch_perm(np.random.default_rng(config.seed), bs, shuffle=False)
+    stacked = jax.jit(build_eval_scan(config, gen, critic))(
+        state, ds.coarse, ds.fine, jnp.asarray(perm)
+    )
+    means = {k: round(float(jnp.mean(v)), 6) for k, v in stacked.items()}
+    result = {"split": "synthetic" if synthetic else split,
+              "n_samples": int(perm.size), "step": int(state.step), **means}
+    line = json.dumps(result)
+    if out:
+        with open(out, "w") as f:
+            f.write(line)
+    click.echo(line)
+
+
 @cli.command("serve-tracking")
 @click.option("--root", default="experiments")
 @click.option("--host", default="0.0.0.0")

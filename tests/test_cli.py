@@ -224,3 +224,33 @@ def test_serve_requires_exactly_one_source():
     assert "exactly one of --checkpoint or --run" in result.output
     result = CliRunner().invoke(cli, ["serve", "--checkpoint", "x", "--run", "y"])
     assert result.exit_code != 0
+
+
+def test_evaluate_cli(tmp_path, tiny_config_file):
+    """`evaluate` runs the metric registry over a split from a checkpoint
+    and prints one JSON line (standalone analogue of the reference's
+    per-epoch test pass)."""
+    tracking_root = str(tmp_path / "exps")
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["train", "--config", tiny_config_file, "--synthetic", "--samples", "32",
+         "--tracking-root", tracking_root, "--experiment", "eval-test"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    ckpt_dir = glob.glob(os.path.join(tracking_root, "*", "*", "artifacts",
+                                      "checkpoints"))[0]
+
+    out_json = str(tmp_path / "eval.json")
+    result = runner.invoke(
+        cli,
+        ["evaluate", "--config", tiny_config_file, "--checkpoint", ckpt_dir,
+         "--synthetic", "--samples", "24", "--out", out_json],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    means = json.loads(open(out_json).read())
+    assert means["split"] == "synthetic" and means["n_samples"] == 24
+    for k in ("MAE", "MSE", "Wass"):
+        assert np.isfinite(means[k]), means
