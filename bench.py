@@ -51,6 +51,10 @@ from jax import lax
 # anomaly-off eager-A100 window derived there.
 A100_REFERENCE_PATCHES_PER_SEC = 640.0
 A100_TUNED_PATCHES_PER_SEC = 2600.0
+# Eager-A100 inference window for the same generator (BASELINE.md method:
+# G fwd = 132.5 GFLOP at b128, ~500 kernel launches, 2-8 TF/s effective on
+# the cout=16 op mix -> 1.9k-7.7k patches/s); 4,000 is the center.
+A100_INFER_PATCHES_PER_SEC = 4000.0
 
 
 def infer_main() -> None:
@@ -93,7 +97,7 @@ def infer_main() -> None:
         "metric": f"sr_inference_patches_per_sec_b{batch}",
         "value": round(pps, 1),
         "unit": "patches/sec",
-        "vs_baseline": round(pps / 1000.0, 3),  # modeled 1k patches/s on A100
+        "vs_baseline": round(pps / A100_INFER_PATCHES_PER_SEC, 3),
         "n_chips": len(jax.devices()),
         "dtype": dtype,
     }))
