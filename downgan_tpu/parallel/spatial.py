@@ -85,6 +85,35 @@ def make_sharded_conv(mesh: Mesh, axis_name: str = "spatial"):
     return conv
 
 
+_TILED_FWD_CACHE: dict = {}
+
+
+def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
+    """Jitted generator-forward + per-tile on-device crop, cached per
+    (model config, crop size) so repeated :func:`tiled_sr_inference` calls
+    (a server evaluating many domains) reuse one traced program instead of
+    paying ~1 s of retracing per call."""
+    key = (config.to_json(), keep_h, keep_w)
+    fn = _TILED_FWD_CACHE.get(key)
+    if fn is None:
+        from downgan_tpu.training.state import make_models
+
+        gen, _ = make_models(config)
+
+        @jax.jit
+        def fwd_crop(params, chunk, kr, kc):
+            fine = gen.apply(params, chunk)  # (K, band_h*sf, band_w*sf, P)
+
+            def crop(f, r, c):
+                return lax.dynamic_slice(
+                    f, (r, c, 0), (keep_h, keep_w, f.shape[-1]))
+
+            return jax.vmap(crop)(fine, kr, kc)
+
+        fn = _TILED_FWD_CACHE[key] = fwd_crop
+    return fn
+
+
 def tiled_sr_inference(
     config: Config,
     g_params,
@@ -117,25 +146,13 @@ def tiled_sr_inference(
     tiles (PERF.md measures the tunnel D2H at ~27 MB/s, so fetched bytes,
     not dispatches, dominate full-domain latency here).
     """
-    from downgan_tpu.training.state import make_models
-
-    gen, _ = make_models(config)
     sf = config.scale_factor
     b, h, w, c = coarse.shape
     band_h = tile_rows + 2 * overlap
     band_w = tile_cols + 2 * overlap if tile_cols else w
     keep_h = min(tile_rows, h) * sf
     keep_w = (min(tile_cols, w) if tile_cols else w) * sf
-
-    @jax.jit
-    def fwd_crop(params, chunk, kr, kc):
-        fine = gen.apply(params, chunk)  # (K, band_h*sf, band_w*sf, P)
-
-        def crop(f, r, c):
-            return lax.dynamic_slice(
-                f, (r, c, 0), (keep_h, keep_w, f.shape[-1]))
-
-        return jax.vmap(crop)(fine, kr, kc)
+    fwd_crop = _tiled_fwd_crop(config, keep_h, keep_w)
 
     if h < band_h:
         raise ValueError(f"domain height {h} smaller than band {band_h}; "
