@@ -286,3 +286,21 @@ def test_packed_int16_cf_decode(tmp_path):
                                rtol=1e-6)  # decode emits float32
     # quantization-level agreement with the original field
     np.testing.assert_allclose(var.data[1:], truth[1:], atol=scale)
+
+
+def test_netcdf_reader_clear_errors(tmp_path):
+    """Malformed inputs fail with clear exceptions, not silent garbage:
+    a non-HDF5 file and a missing variable name."""
+    from downgan_tpu.data.netcdf import NetCDFFile, write_netcdf
+
+    bad = tmp_path / "not_netcdf.nc"
+    bad.write_bytes(b"CDF\x01this is classic netcdf3/garbage, not hdf5")
+    with pytest.raises(OSError):
+        NetCDFFile(str(bad)).__enter__()
+
+    good = str(tmp_path / "ok.nc")
+    write_netcdf(good, variables={"u10": np.zeros((2, 3, 4), np.float32)},
+                 dims={"u10": ("time", "lat", "lon")})
+    with NetCDFFile(good) as f:
+        with pytest.raises(KeyError):
+            f.variable("nope")
