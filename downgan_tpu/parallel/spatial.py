@@ -146,7 +146,10 @@ def tiled_sr_inference(
     tiles (PERF.md measures the tunnel D2H at ~27 MB/s, so fetched bytes,
     not dispatches, dominate full-domain latency here).
     """
-    sf = config.scale_factor
+    # The generator's true output scaling (2**num_upsample) — NOT
+    # config.scale_factor, which is the data-pipeline crop factor and can
+    # differ from the model ratio on non-florida configs.
+    sf = 2 ** config.num_upsample
     b, h, w, c = coarse.shape
     band_h = tile_rows + 2 * overlap
     band_w = tile_cols + 2 * overlap if tile_cols else w

@@ -13,6 +13,10 @@ Protocol:
     p50/p95 request latency (observability)
   * ``POST /v1/generate`` with a .npy body of coarse covariates
     (N, h, w, C) float32        -> .npy body of generated (N, H, W, P)
+  * ``POST /v1/generate-domain?tile_rows=16&overlap=8&tile_cols=0`` with
+    a .npy body of ARBITRARY-size coarse fields (B, H, W, C) -> .npy of
+    (B, H*sf, W*sf, P) via overlap-tiled inference (the full-domain path
+    the training-patch endpoint cannot serve)
 
 Client: ``downgan_tpu.serving.generate_remote(url, coarse)``.
 Run: ``python -m downgan_tpu.cli serve --checkpoint <dir>``.
@@ -84,6 +88,27 @@ class SRModel:
                 outs.append(fake[: self.batch - pad] if pad else fake)
         self._record(coarse.shape[0], time.perf_counter() - t0)
         return np.concatenate(outs, axis=0)
+
+    def generate_domain(self, coarse: np.ndarray, tile_rows: int = 16,
+                        overlap: int = 8, tile_cols: int = 0) -> np.ndarray:
+        """Overlap-tiled SR over arbitrary-size fields (B, H, W, C) — the
+        serving surface of :func:`parallel.spatial.tiled_sr_inference`."""
+        from downgan_tpu.parallel.spatial import tiled_sr_inference
+
+        if coarse.ndim != 4 or coarse.shape[-1] != self.config.n_covariates:
+            raise ValueError(
+                f"expected (B, H, W, {self.config.n_covariates}) float32, "
+                f"got {coarse.shape}"
+            )
+        t0 = time.perf_counter()
+        with self._lock:  # serialized device access
+            out = tiled_sr_inference(
+                self.config, self._params, np.asarray(coarse, np.float32),
+                tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
+            )
+            self.dispatch_count += 1  # counted as one logical dispatch
+        self._record(coarse.shape[0], time.perf_counter() - t0)
+        return out
 
     def _record(self, n_samples: int, seconds: float) -> None:
         with self._stats_lock:
@@ -244,9 +269,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, b"{}", "application/json")
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path != "/v1/generate":
+        from urllib.parse import parse_qs, urlparse
+
+        parsed = urlparse(self.path)
+        if parsed.path not in ("/v1/generate", "/v1/generate-domain"):
             self._send(404, b"{}", "application/json")
             return
+        domain_mode = parsed.path == "/v1/generate-domain"
+        q = parse_qs(parsed.query)
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if length > self.model.max_request_bytes:
@@ -260,7 +290,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
             return
         try:
-            fields = self.model.generate(np.asarray(coarse, np.float32))
+            if domain_mode:
+                fields = self.model.generate_domain(
+                    np.asarray(coarse, np.float32),
+                    tile_rows=int(q.get("tile_rows", ["16"])[0]),
+                    overlap=int(q.get("overlap", ["8"])[0]),
+                    tile_cols=int(q.get("tile_cols", ["0"])[0]),
+                )
+            else:
+                fields = self.model.generate(np.asarray(coarse, np.float32))
         except ValueError as exc:  # shape rejection
             self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
             return
@@ -281,6 +319,22 @@ def generate_remote(url: str, coarse: np.ndarray) -> np.ndarray:
 
     req = urllib.request.Request(
         f"{url.rstrip('/')}/v1/generate",
+        data=_npy_bytes(np.asarray(coarse, np.float32)),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return np.load(io.BytesIO(resp.read()), allow_pickle=False)
+
+
+def generate_domain_remote(url: str, coarse: np.ndarray, tile_rows: int = 16,
+                           overlap: int = 8, tile_cols: int = 0) -> np.ndarray:
+    """Client helper for arbitrary-size fields: POST (B, H, W, C), get
+    (B, H*sf, W*sf, P) via the server's overlap-tiled inference."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/v1/generate-domain"
+        f"?tile_rows={tile_rows}&overlap={overlap}&tile_cols={tile_cols}",
         data=_npy_bytes(np.asarray(coarse, np.float32)),
         headers={"Content-Type": "application/octet-stream"},
     )

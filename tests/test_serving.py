@@ -239,3 +239,24 @@ def test_empty_body_gets_400_not_reset(served):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=10)
     assert exc.value.code == 400
+
+
+def test_generate_domain_endpoint(served):
+    """/v1/generate-domain runs overlap-tiled SR on arbitrary-size fields
+    (here 24x16 coarse on an 8x8-trained model with 4x upsample — also a
+    regression for tiled inference using the MODEL ratio, not the
+    data-pipeline scale_factor)."""
+    from downgan_tpu.serving import generate_domain_remote
+
+    config, gen, params, url = served
+    coarse = np.random.default_rng(3).standard_normal((2, 24, 16, 7)).astype(np.float32)
+    out = generate_domain_remote(url, coarse, tile_rows=8, overlap=4)
+    assert out.shape == (2, 96, 64, 2)  # 4x model ratio, NOT scale_factor 8
+    full = np.asarray(gen.apply(params, jnp.asarray(coarse)))
+    assert np.abs(out - full).max() < 5e-2  # seam tolerance
+
+    # a domain smaller than one band is a clean 400
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        generate_domain_remote(url, coarse[:, :8], tile_rows=8, overlap=4)
+    assert exc.value.code == 400
