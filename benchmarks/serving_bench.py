@@ -77,7 +77,7 @@ def main() -> None:
         "clients": n_clients,
         "req_samples": req_samples,
         "dispatches": stats["dispatches"],
-        "coalesce_ratio": round((total_reqs + 1) / stats["dispatches"], 2),
+        "coalesce_ratio": round(stats["requests"] / stats["dispatches"], 2),
         "latency_ms_p50": stats["latency_ms_p50"],
         "latency_ms_p95": stats["latency_ms_p95"],
     }))

@@ -34,6 +34,27 @@ def _load_config(config_path: Optional[str], region: Optional[str], **hp_overrid
     return config
 
 
+def _resolve_source_config(config_path, region, checkpoint, run_id,
+                           tracking_root):
+    """Shared --checkpoint/--run resolution for generate/serve/evaluate:
+    exactly one source; --run resolves checkpoints AND the logged config
+    through the tracking store; an explicit --config wins."""
+    if (checkpoint is None) == (run_id is None):
+        raise click.UsageError("pass exactly one of --checkpoint or --run")
+    run = run_config = None
+    if run_id is not None:
+        from downgan_tpu.inference import resolve_run_checkpoint
+
+        run, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
+    if config_path:
+        config = _load_config(config_path, region)
+    elif run_config is not None:
+        config = run_config.replace(region=region) if region else run_config
+    else:
+        config = _load_config(None, region)
+    return config, checkpoint, run
+
+
 @click.group()
 def cli() -> None:
     """downgan-tpu: TPU-native WGAN-GP super-resolution downscaling."""
@@ -201,28 +222,15 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     from downgan_tpu.inference import (
         generate_fields,
         rebuild_coarse_covariates,
-        resolve_run_checkpoint,
         restore_generator_params,
         write_generated_netcdf,
     )
 
-    if (checkpoint is None) == (run_id is None):
-        raise click.UsageError("pass exactly one of --checkpoint or --run")
-
-    run_config = None
-    if run_id is not None:
-        run, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
-        if out is None:
-            out = os.path.join(run.artifact_dir, "generated_ds.nc")
+    config, checkpoint, run = _resolve_source_config(
+        config_path, region, checkpoint, run_id, tracking_root)
     if out is None:
-        out = "generated.nc"
-
-    if config_path:
-        config = _load_config(config_path, region)
-    elif run_config is not None:
-        config = run_config.replace(region=region) if region else run_config
-    else:
-        config = _load_config(None, region)
+        out = (os.path.join(run.artifact_dir, "generated_ds.nc")
+               if run is not None else "generated.nc")
 
     times = None
     if synthetic:
@@ -283,20 +291,11 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
     """Serve super-resolution inference over HTTP (POST .npy covariates to
     /v1/generate; GET /healthz, /metrics). No reference equivalent — the
     serving layer for production deployment."""
-    from downgan_tpu.inference import resolve_run_checkpoint, restore_generator_params
+    from downgan_tpu.inference import restore_generator_params
     from downgan_tpu.serving import BatchingSRModel, SRModel, serve_model
 
-    if (checkpoint is None) == (run_id is None):
-        raise click.UsageError("pass exactly one of --checkpoint or --run")
-    run_config = None
-    if run_id is not None:
-        _, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
-    if config_path:
-        config = _load_config(config_path, None)
-    elif run_config is not None:
-        config = run_config
-    else:
-        config = _load_config(None, None)
+    config, checkpoint, _ = _resolve_source_config(
+        config_path, None, checkpoint, run_id, tracking_root)
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only)
     if coalesce:
@@ -326,8 +325,11 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
               "reference's per-epoch test pass, wasserstein.py:157-169).")
 @click.option("--out", type=click.Path(), default=None,
               help="Also write the metric means to this JSON file.")
+@click.option("--ema", is_flag=True,
+              help="Evaluate the EMA generator weights (what EMA-trained "
+              "runs actually serve) instead of the live weights.")
 def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
-             synthetic, samples, split, out) -> None:
+             synthetic, samples, split, out, ema) -> None:
     """Standalone test-set metric pass from a checkpoint: the metric
     registry (hp.metrics_to_calculate) over a whole split as one compiled
     scan, printed as one JSON line."""
@@ -336,22 +338,12 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     import numpy as np
 
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
-    from downgan_tpu.inference import resolve_run_checkpoint
     from downgan_tpu.training.state import create_state, make_models
     from downgan_tpu.training.wgan import build_eval_scan
     from downgan_tpu.utils.checkpoint import CheckpointManager
 
-    if (checkpoint is None) == (run_id is None):
-        raise click.UsageError("pass exactly one of --checkpoint or --run")
-    run_config = None
-    if run_id is not None:
-        _, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
-    if config_path:
-        config = _load_config(config_path, region)
-    elif run_config is not None:
-        config = run_config.replace(region=region) if region else run_config
-    else:
-        config = _load_config(None, region)
+    config, checkpoint, _ = _resolve_source_config(
+        config_path, region, checkpoint, run_id, tracking_root)
 
     if synthetic:
         coarse, fine = synthetic_dataset(
@@ -370,6 +362,11 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     gen, critic = make_models(config)
     state = create_state(config, jax.random.PRNGKey(config.seed))
     state = CheckpointManager(checkpoint).restore(state, step=epoch)
+    if ema:
+        if state.g_ema is None:
+            raise click.UsageError(
+                "--ema requires an EMA-trained run (hp.ema_decay > 0)")
+        state = state.replace(g_params=state.g_ema)
 
     bs = config.hp.batch_size
     if len(ds) < bs:

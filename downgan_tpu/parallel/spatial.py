@@ -85,16 +85,26 @@ def make_sharded_conv(mesh: Mesh, axis_name: str = "spatial"):
     return conv
 
 
-_TILED_FWD_CACHE: dict = {}
+_TILED_FWD_CACHE: "collections.OrderedDict" = None  # lazy-initialized below
+_TILED_FWD_CACHE_MAX = 8
 
 
 def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
     """Jitted generator-forward + per-tile on-device crop, cached per
     (model config, crop size) so repeated :func:`tiled_sr_inference` calls
     (a server evaluating many domains) reuse one traced program instead of
-    paying ~1 s of retracing per call."""
+    paying ~1 s of retracing per call. LRU-bounded: the crop size is
+    client-controlled on the serving surface, so the cache must not grow
+    without limit."""
+    import collections
+
+    global _TILED_FWD_CACHE
+    if _TILED_FWD_CACHE is None:
+        _TILED_FWD_CACHE = collections.OrderedDict()
     key = (config.to_json(), keep_h, keep_w)
     fn = _TILED_FWD_CACHE.get(key)
+    if fn is not None:
+        _TILED_FWD_CACHE.move_to_end(key)
     if fn is None:
         from downgan_tpu.training.state import make_models
 
@@ -111,6 +121,8 @@ def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
             return jax.vmap(crop)(fine, kr, kc)
 
         fn = _TILED_FWD_CACHE[key] = fwd_crop
+        while len(_TILED_FWD_CACHE) > _TILED_FWD_CACHE_MAX:
+            _TILED_FWD_CACHE.popitem(last=False)
     return fn
 
 
@@ -146,6 +158,11 @@ def tiled_sr_inference(
     tiles (PERF.md measures the tunnel D2H at ~27 MB/s, so fetched bytes,
     not dispatches, dominate full-domain latency here).
     """
+    if tile_rows < 1 or overlap < 0 or tile_cols < 0:
+        raise ValueError(
+            f"invalid tiling: tile_rows={tile_rows} (>=1), overlap={overlap} "
+            f"(>=0), tile_cols={tile_cols} (>=0)"
+        )
     # The generator's true output scaling (2**num_upsample) — NOT
     # config.scale_factor, which is the data-pipeline crop factor and can
     # differ from the model ratio on non-florida configs.

@@ -64,6 +64,9 @@ class SRModel:
         # cannot exhaust host RAM.
         per_sample = config.coarse_size * config.coarse_size * config.n_covariates * 4
         self.max_request_bytes = max_request_samples * per_sample + 4096
+        # Domain requests carry whole fields, not training patches — allow
+        # proportionally more before the 413 cut.
+        self.max_domain_request_bytes = 8 * self.max_request_bytes
 
     def generate(self, coarse: np.ndarray) -> np.ndarray:
         if coarse.ndim != 4 or coarse.shape[1:] != (
@@ -99,6 +102,11 @@ class SRModel:
             raise ValueError(
                 f"expected (B, H, W, {self.config.n_covariates}) float32, "
                 f"got {coarse.shape}"
+            )
+        if tile_rows < 1 or overlap < 0 or tile_cols < 0:
+            raise ValueError(
+                f"invalid tiling: tile_rows={tile_rows} (>=1), "
+                f"overlap={overlap} (>=0), tile_cols={tile_cols} (>=0)"
             )
         t0 = time.perf_counter()
         with self._lock:  # serialized device access
@@ -208,18 +216,22 @@ class BatchingSRModel(SRModel):
             try:
                 union = np.concatenate([a for a, _, _ in work], axis=0)
                 outs = []
-                for start in range(0, union.shape[0], self.batch):
-                    block = union[start : start + self.batch]
-                    pad = self.batch - block.shape[0]
-                    if pad:
-                        block = np.concatenate(
-                            [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
+                # _lock actually serializes device access against
+                # generate_domain (and any direct SRModel.generate use);
+                # dispatch_count is only ever touched under it.
+                with self._lock:
+                    for start in range(0, union.shape[0], self.batch):
+                        block = union[start : start + self.batch]
+                        pad = self.batch - block.shape[0]
+                        if pad:
+                            block = np.concatenate(
+                                [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
+                            )
+                        fake = np.asarray(
+                            self._fwd(self._params, jnp.asarray(block, jnp.float32))
                         )
-                    fake = np.asarray(
-                        self._fwd(self._params, jnp.asarray(block, jnp.float32))
-                    )
-                    self.dispatch_count += 1
-                    outs.append(fake[: self.batch - pad] if pad else fake)
+                        self.dispatch_count += 1
+                        outs.append(fake[: self.batch - pad] if pad else fake)
                 fields = np.concatenate(outs, axis=0)
                 offset = 0
                 for arr, slot, done in work:
@@ -277,12 +289,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         domain_mode = parsed.path == "/v1/generate-domain"
         q = parse_qs(parsed.query)
+        cap = (self.model.max_domain_request_bytes if domain_mode
+               else self.model.max_request_bytes)
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            if length > self.model.max_request_bytes:
+            if length > cap:
                 self._send(413, json.dumps({
-                    "error": f"request body {length} bytes exceeds cap "
-                             f"{self.model.max_request_bytes}"
+                    "error": f"request body {length} bytes exceeds cap {cap}"
                 }).encode(), "application/json")
                 return
             coarse = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
@@ -313,30 +326,30 @@ def serve_model(model: SRModel, host: str = "0.0.0.0", port: int = 8080) -> Thre
     return ThreadingHTTPServer((host, port), handler)
 
 
-def generate_remote(url: str, coarse: np.ndarray) -> np.ndarray:
-    """Client helper: POST covariates, return generated fields."""
+def _post_npy(endpoint: str, arr: np.ndarray) -> np.ndarray:
+    """POST a float32 array as .npy, return the decoded .npy response."""
     import urllib.request
 
     req = urllib.request.Request(
-        f"{url.rstrip('/')}/v1/generate",
-        data=_npy_bytes(np.asarray(coarse, np.float32)),
+        endpoint,
+        data=_npy_bytes(np.asarray(arr, np.float32)),
         headers={"Content-Type": "application/octet-stream"},
     )
     with urllib.request.urlopen(req) as resp:
         return np.load(io.BytesIO(resp.read()), allow_pickle=False)
+
+
+def generate_remote(url: str, coarse: np.ndarray) -> np.ndarray:
+    """Client helper: POST covariates, return generated fields."""
+    return _post_npy(f"{url.rstrip('/')}/v1/generate", coarse)
 
 
 def generate_domain_remote(url: str, coarse: np.ndarray, tile_rows: int = 16,
                            overlap: int = 8, tile_cols: int = 0) -> np.ndarray:
     """Client helper for arbitrary-size fields: POST (B, H, W, C), get
-    (B, H*sf, W*sf, P) via the server's overlap-tiled inference."""
-    import urllib.request
-
-    req = urllib.request.Request(
+    (B, H*r, W*r, P) via the server's overlap-tiled inference."""
+    return _post_npy(
         f"{url.rstrip('/')}/v1/generate-domain"
         f"?tile_rows={tile_rows}&overlap={overlap}&tile_cols={tile_cols}",
-        data=_npy_bytes(np.asarray(coarse, np.float32)),
-        headers={"Content-Type": "application/octet-stream"},
+        coarse,
     )
-    with urllib.request.urlopen(req) as resp:
-        return np.load(io.BytesIO(resp.read()), allow_pickle=False)
