@@ -306,7 +306,14 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
     server = serve_model(model, host, port)
     click.echo(f"SR inference on http://{host}:{port} (batch {model.batch}, "
                f"coalesce={coalesce})")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        # Drain the coalescer on shutdown so queued requests get answers
+        # (the worker processes its queue before exiting) instead of dying
+        # silently with the daemon thread.
+        if coalesce:
+            model.close()
 
 
 @cli.command()

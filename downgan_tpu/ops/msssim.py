@@ -151,10 +151,17 @@ def minmax_normalize_per_channel(x: jax.Array) -> jax.Array:
     Functional version of the in-place normalization the reference's
     ``SSIM_Loss`` performs on its inputs (``losses.py:15-29``): min/max are
     taken over the whole batch per channel.
+
+    Degenerate-input guard (the reference divides by zero here,
+    ``losses.py:20-29``, NaN-poisoning the metric): a constant channel has
+    span 0 and normalizes to the constant 0 field instead of NaN, so two
+    identical constant channels score MS-SSIM similarity 1. Non-degenerate
+    channels are bit-identical to the unguarded formula.
     """
     mins = jnp.min(x, axis=(0, 1, 2), keepdims=True)
     maxs = jnp.max(x, axis=(0, 1, 2), keepdims=True)
-    return (x - mins) / (maxs - mins)
+    span = maxs - mins
+    return (x - mins) / jnp.where(span > 0, span, 1.0)
 
 
 def msssim_metric(hr: jax.Array, fake: jax.Array) -> jax.Array:

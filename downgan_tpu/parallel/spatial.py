@@ -19,6 +19,7 @@ TPU-native answer ("long-context analogue") has two parts:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -87,6 +88,7 @@ def make_sharded_conv(mesh: Mesh, axis_name: str = "spatial"):
 
 _TILED_FWD_CACHE: "collections.OrderedDict" = None  # lazy-initialized below
 _TILED_FWD_CACHE_MAX = 8
+_TILED_FWD_CACHE_LOCK = threading.Lock()
 
 
 def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
@@ -95,35 +97,57 @@ def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
     (a server evaluating many domains) reuse one traced program instead of
     paying ~1 s of retracing per call. LRU-bounded: the crop size is
     client-controlled on the serving surface, so the cache must not grow
-    without limit."""
+    without limit. The module lock makes lookup/insert/evict safe for
+    direct library callers on multiple threads (SRModel._lock only
+    accidentally serialized single-model use)."""
     import collections
 
     global _TILED_FWD_CACHE
-    if _TILED_FWD_CACHE is None:
-        _TILED_FWD_CACHE = collections.OrderedDict()
     key = (config.to_json(), keep_h, keep_w)
-    fn = _TILED_FWD_CACHE.get(key)
-    if fn is not None:
+    with _TILED_FWD_CACHE_LOCK:
+        if _TILED_FWD_CACHE is None:
+            _TILED_FWD_CACHE = collections.OrderedDict()
+        fn = _TILED_FWD_CACHE.get(key)
+        if fn is not None:
+            _TILED_FWD_CACHE.move_to_end(key)
+            return fn
+
+    # Build outside the lock (tracing-model construction is pure and cheap;
+    # two racing threads at worst build the same jitted fn twice).
+    from downgan_tpu.training.state import make_models
+
+    gen, _ = make_models(config)
+
+    @jax.jit
+    def fwd_crop(params, chunk, kr, kc):
+        fine = gen.apply(params, chunk)  # (K, band_h*sf, band_w*sf, P)
+
+        def crop(f, r, c):
+            return lax.dynamic_slice(
+                f, (r, c, 0), (keep_h, keep_w, f.shape[-1]))
+
+        return jax.vmap(crop)(fine, kr, kc)
+
+    with _TILED_FWD_CACHE_LOCK:
+        fn = _TILED_FWD_CACHE.setdefault(key, fwd_crop)
         _TILED_FWD_CACHE.move_to_end(key)
-    if fn is None:
-        from downgan_tpu.training.state import make_models
-
-        gen, _ = make_models(config)
-
-        @jax.jit
-        def fwd_crop(params, chunk, kr, kc):
-            fine = gen.apply(params, chunk)  # (K, band_h*sf, band_w*sf, P)
-
-            def crop(f, r, c):
-                return lax.dynamic_slice(
-                    f, (r, c, 0), (keep_h, keep_w, f.shape[-1]))
-
-            return jax.vmap(crop)(fine, kr, kc)
-
-        fn = _TILED_FWD_CACHE[key] = fwd_crop
         while len(_TILED_FWD_CACHE) > _TILED_FWD_CACHE_MAX:
             _TILED_FWD_CACHE.popitem(last=False)
     return fn
+
+
+def count_tiled_dispatches(
+    b: int, h: int, w: int, tile_rows: int, tile_cols: int = 0,
+    tiles_per_dispatch: int = 8,
+) -> int:
+    """Device dispatches :func:`tiled_sr_inference` issues for a (b, h, w)
+    domain: total tiles (including the ragged edge tiles) folded
+    ``tiles_per_dispatch`` at a time. Used by the serving layer so
+    ``/metrics`` reports real device dispatches for domain traffic."""
+    n_rows = -(-h // tile_rows)
+    n_cols = -(-w // tile_cols) if tile_cols else 1
+    n_tiles = b * n_rows * n_cols
+    return -(-n_tiles // max(1, tiles_per_dispatch))
 
 
 def tiled_sr_inference(

@@ -13,10 +13,14 @@ Protocol:
     p50/p95 request latency (observability)
   * ``POST /v1/generate`` with a .npy body of coarse covariates
     (N, h, w, C) float32        -> .npy body of generated (N, H, W, P)
-  * ``POST /v1/generate-domain?tile_rows=16&overlap=8&tile_cols=0`` with
-    a .npy body of ARBITRARY-size coarse fields (B, H, W, C) -> .npy of
-    (B, H*sf, W*sf, P) via overlap-tiled inference (the full-domain path
-    the training-patch endpoint cannot serve)
+  * ``POST /v1/generate-domain?tile_rows=16&overlap=8&tile_cols=0&``
+    ``tiles_per_dispatch=8`` with a .npy body of ARBITRARY-size coarse
+    fields (B, H, W, C) -> .npy of (B, H*sf, W*sf, P) via overlap-tiled
+    inference (the full-domain path the training-patch endpoint cannot
+    serve). Domain requests bypass request coalescing (uniquely-shaped
+    fields have no shared compiled batch) and are bounded by BOTH a body
+    cap and an estimated-OUTPUT cap (413) — the output is ~sf^2*(P/C)
+    times the input, so a body cap alone would not protect host RAM.
 
 Client: ``downgan_tpu.serving.generate_remote(url, coarse)``.
 Run: ``python -m downgan_tpu.cli serve --checkpoint <dir>``.
@@ -38,11 +42,16 @@ import numpy as np
 from downgan_tpu.config.config import Config
 
 
+class RequestTooLarge(ValueError):
+    """A request's input or estimated output exceeds the serving caps."""
+
+
 class SRModel:
     """Jitted generator with fixed-batch padding; thread-safe."""
 
     def __init__(self, config: Config, g_params, batch_size: int = 0,
-                 max_request_samples: int = 8192):
+                 max_request_samples: int = 8192,
+                 max_domain_output_bytes: int = 1 << 30):
         from downgan_tpu.training.state import make_models
 
         self.config = config
@@ -65,8 +74,26 @@ class SRModel:
         per_sample = config.coarse_size * config.coarse_size * config.n_covariates * 4
         self.max_request_bytes = max_request_samples * per_sample + 4096
         # Domain requests carry whole fields, not training patches — allow
-        # proportionally more before the 413 cut.
-        self.max_domain_request_bytes = 8 * self.max_request_bytes
+        # proportionally more before the 413 cut. The binding bound for
+        # domain traffic is max_domain_output_bytes below: the OUTPUT is
+        # ~sf^2 * (P/C) times the input (~18x on the florida defaults), so
+        # capping only the body would still admit requests whose response
+        # allocation exhausts host RAM.
+        self.max_domain_request_bytes = 4 * self.max_request_bytes
+        self.max_domain_output_bytes = max_domain_output_bytes
+
+    def check_domain_output(self, shape) -> None:
+        """Reject a domain request whose OUTPUT allocation would exceed
+        the cap, after the .npy header is parsed but before any compute:
+        output bytes = B * (H*sf) * (W*sf) * n_predictands * 4."""
+        b, h, w = int(shape[0]), int(shape[1]), int(shape[2])
+        sf = 2 ** self.config.num_upsample
+        out_bytes = b * (h * sf) * (w * sf) * self.config.n_predictands * 4
+        if out_bytes > self.max_domain_output_bytes:
+            raise RequestTooLarge(
+                f"estimated output {out_bytes} bytes for input shape "
+                f"{tuple(shape)} exceeds cap {self.max_domain_output_bytes}"
+            )
 
     def generate(self, coarse: np.ndarray) -> np.ndarray:
         if coarse.ndim != 4 or coarse.shape[1:] != (
@@ -93,10 +120,22 @@ class SRModel:
         return np.concatenate(outs, axis=0)
 
     def generate_domain(self, coarse: np.ndarray, tile_rows: int = 16,
-                        overlap: int = 8, tile_cols: int = 0) -> np.ndarray:
+                        overlap: int = 8, tile_cols: int = 0,
+                        tiles_per_dispatch: int = 8) -> np.ndarray:
         """Overlap-tiled SR over arbitrary-size fields (B, H, W, C) — the
-        serving surface of :func:`parallel.spatial.tiled_sr_inference`."""
-        from downgan_tpu.parallel.spatial import tiled_sr_inference
+        serving surface of :func:`parallel.spatial.tiled_sr_inference`.
+
+        Domain requests bypass the :class:`BatchingSRModel` coalescer by
+        design (each carries a uniquely-shaped whole field, so there is no
+        shared compiled batch to fold them into); they serialize against
+        all other device work on the model lock. ``/metrics`` counts the
+        REAL device dispatches the tiler issues
+        (:func:`parallel.spatial.count_tiled_dispatches`), not one logical
+        dispatch per request."""
+        from downgan_tpu.parallel.spatial import (
+            count_tiled_dispatches,
+            tiled_sr_inference,
+        )
 
         if coarse.ndim != 4 or coarse.shape[-1] != self.config.n_covariates:
             raise ValueError(
@@ -108,13 +147,17 @@ class SRModel:
                 f"invalid tiling: tile_rows={tile_rows} (>=1), "
                 f"overlap={overlap} (>=0), tile_cols={tile_cols} (>=0)"
             )
+        self.check_domain_output(coarse.shape)
         t0 = time.perf_counter()
+        b, h, w, _ = coarse.shape
         with self._lock:  # serialized device access
             out = tiled_sr_inference(
                 self.config, self._params, np.asarray(coarse, np.float32),
                 tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
+                tiles_per_dispatch=tiles_per_dispatch,
             )
-            self.dispatch_count += 1  # counted as one logical dispatch
+            self.dispatch_count += count_tiled_dispatches(
+                b, h, w, tile_rows, tile_cols, tiles_per_dispatch)
         self._record(coarse.shape[0], time.perf_counter() - t0)
         return out
 
@@ -213,6 +256,10 @@ class BatchingSRModel(SRModel):
                         break
                     self._cv.wait(timeout=remaining)
                 work, self._queue = self._queue, []
+            # Two-phase delivery: assign EVERY slot first, signal events
+            # only after — no event fires until all slots are final, so a
+            # mid-scatter failure can never swap a result a client already
+            # woke up to read for the exception (they race otherwise).
             try:
                 union = np.concatenate([a for a, _, _ in work], axis=0)
                 outs = []
@@ -234,13 +281,14 @@ class BatchingSRModel(SRModel):
                         outs.append(fake[: self.batch - pad] if pad else fake)
                 fields = np.concatenate(outs, axis=0)
                 offset = 0
-                for arr, slot, done in work:
+                for arr, slot, _ in work:
                     slot[0] = fields[offset : offset + arr.shape[0]]
                     offset += arr.shape[0]
-                    done.set()
             except BaseException as exc:  # deliver the failure to every waiter
-                for _, slot, done in work:
+                for _, slot, _ in work:
                     slot[0] = exc
+            finally:
+                for _, _, done in work:
                     done.set()
 
 
@@ -309,9 +357,13 @@ class _Handler(BaseHTTPRequestHandler):
                     tile_rows=int(q.get("tile_rows", ["16"])[0]),
                     overlap=int(q.get("overlap", ["8"])[0]),
                     tile_cols=int(q.get("tile_cols", ["0"])[0]),
+                    tiles_per_dispatch=int(q.get("tiles_per_dispatch", ["8"])[0]),
                 )
             else:
                 fields = self.model.generate(np.asarray(coarse, np.float32))
+        except RequestTooLarge as exc:  # output-allocation cap
+            self._send(413, json.dumps({"error": str(exc)}).encode(), "application/json")
+            return
         except ValueError as exc:  # shape rejection
             self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
             return

@@ -193,22 +193,46 @@ class Trainer:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def _run_test_pass(self) -> Dict[str, float]:
+        """Full test-set metric pass covering EVERY held-out sample.
+
+        The reference's test DataLoader keeps the final partial batch
+        (``GAN/stage.py:78-81``, torch default drop_last=False) and the
+        epoch tail iterates it (``wasserstein.py:157-169``), averaging the
+        per-batch metric values over the number of batches. Parity: full
+        batches run through the compiled eval scan; a ragged tail is
+        evaluated as its own (smaller, separately-compiled) batch — its
+        own static shape, so MS-SSIM's batch-global normalization matches
+        the reference's partial-batch semantics — and the mean weights
+        each batch equally, exactly like ``post_epoch_metric_mean``.
+        """
         assert self.test_ds is not None
         bs = self.config.hp.batch_size
+        n = len(self.test_ds)
         perm = self.test_ds.epoch_perm(self._epoch_rng(), bs, shuffle=False)
-        if self.config.hp.fused_epoch:
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        if len(perm) and self.config.hp.fused_epoch:
             stacked = self._eval_scan(
                 self.state, self.test_ds.coarse, self.test_ds.fine, jnp.asarray(perm)
             )
-            return {k: float(jnp.mean(v)) for k, v in stacked.items()}
-        sums: Dict[str, float] = {}
-        for idx in perm:
-            coarse = jnp.take(self.test_ds.coarse, jnp.asarray(idx), axis=0)
-            fine = jnp.take(self.test_ds.fine, jnp.asarray(idx), axis=0)
+            for k, v in stacked.items():
+                sums[k] = float(jnp.sum(v))
+            n_batches += len(perm)
+        elif len(perm):
+            for idx in perm:
+                coarse = jnp.take(self.test_ds.coarse, jnp.asarray(idx), axis=0)
+                fine = jnp.take(self.test_ds.fine, jnp.asarray(idx), axis=0)
+                for k, v in self._eval_fn(self.state, coarse, fine).items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            n_batches += len(perm)
+        tail = np.arange(len(perm) * bs, n)
+        if tail.size:
+            coarse = jnp.take(self.test_ds.coarse, jnp.asarray(tail), axis=0)
+            fine = jnp.take(self.test_ds.fine, jnp.asarray(tail), axis=0)
             for k, v in self._eval_fn(self.state, coarse, fine).items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-        n = max(len(perm), 1)
-        return {k: v / n for k, v in sums.items()}
+            n_batches += 1
+        return {k: v / max(n_batches, 1) for k, v in sums.items()}
 
     def _log_epoch(self, split: str, means: Dict[str, float]) -> None:
         tagged = {f"{k}_{split}": v for k, v in means.items()}
@@ -258,7 +282,7 @@ class Trainer:
             if self.epoch % self.plot_every == 0:
                 self._plot_split("train", self.train_ds)
 
-            if self.test_ds is not None and len(self.test_ds) >= self.config.hp.batch_size:
+            if self.test_ds is not None and len(self.test_ds) > 0:
                 test_means = self._run_test_pass()
                 self._log_epoch("test", test_means)
                 if self.epoch % self.plot_every == 0:
