@@ -86,8 +86,22 @@ def cli() -> None:
 @click.option("--interactive", is_flag=True,
               help="Interactive experiment picker + run description (reference parity).")
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
+@click.option("--host-feed", is_flag=True,
+              help="Keep the dataset in host RAM and stream batches through "
+              "the double-buffered feed (for regions too big for HBM). "
+              "Implies the per-step loop (hp.fused_epoch=False, "
+              "schedule='reference'); the trajectory matches device-resident "
+              "training bit-for-bit.")
 @click.option("--save-every", type=int, default=None,
               help="Checkpoint cadence in epochs (default: hp.save_every).")
+@click.option("--max-checkpoints", type=int, default=None,
+              help="Checkpoints retained (0 = keep every epoch, the "
+              "reference's behavior — mlflow_epoch.py:65-69 — enabling "
+              "`generate --epoch N` for any epoch; default: "
+              "config.max_checkpoints).")
+@click.option("--keep-every", type=int, default=None,
+              help="Additionally pin every k-th epoch's checkpoint outside "
+              "the retention window (default: config.keep_checkpoint_every).")
 @click.option("--print-every", type=int, default=None,
               help="Progress-line cadence in epochs (default: hp.print_every).")
 @click.option("--plot-every", type=int, default=1)
@@ -99,13 +113,15 @@ def cli() -> None:
               "artifact dir (tracking/tensorboard.py).")
 def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
           synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
-          resume, interactive, mesh, save_every, print_every, plot_every,
-          eof_lambda, tensorboard) -> None:
+          resume, interactive, mesh, host_feed, save_every, max_checkpoints,
+          keep_every, print_every, plot_every, eof_lambda, tensorboard) -> None:
     """Train the WGAN-GP super-resolution model."""
+    import dataclasses
+
     import jax
 
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
-    from downgan_tpu.data.staging import stage_datasets
+    from downgan_tpu.data.staging import load_preprocessed, stage_datasets
     from downgan_tpu.tracking import TrackingStore, define_experiment, log_hyperparams, write_tags
     from downgan_tpu.training.trainer import Trainer
     from downgan_tpu.utils.checkpoint import CheckpointManager
@@ -114,6 +130,19 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
         compute_dtype=compute_dtype, schedule=schedule, eof_lambda=eof_lambda,
     )
+    if host_feed:
+        if config.hp.fused_epoch or config.hp.schedule == "fused":
+            click.echo("host feed: using the per-step loop "
+                       "(hp.fused_epoch=False, schedule='reference')")
+        config = config.replace(hp=dataclasses.replace(
+            config.hp, fused_epoch=False, schedule="reference"))
+
+    def _to_dataset(coarse, fine):
+        if host_feed:
+            from downgan_tpu.data.feed import HostDataset
+
+            return HostDataset(coarse, fine)
+        return DeviceDataset.from_numpy(coarse, fine)
 
     if synthetic:
         coarse, fine = synthetic_dataset(
@@ -122,8 +151,16 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
             n_predictands=config.n_predictands, seed=config.seed,
         )
         split = int(0.9 * samples)
-        train_ds = DeviceDataset.from_numpy(coarse[:split], fine[:split])
-        test_ds = DeviceDataset.from_numpy(coarse[split:], fine[split:])
+        train_ds = _to_dataset(coarse[:split], fine[:split])
+        test_ds = _to_dataset(coarse[split:], fine[split:])
+    elif host_feed:
+        from downgan_tpu.data.staging import generate_train_test_coarse_fine
+
+        if config.already_preprocessed:
+            ct, ft, cv, fv = load_preprocessed(config)
+        else:
+            ct, ft, cv, fv = generate_train_test_coarse_fine(config)
+        train_ds, test_ds = _to_dataset(ct, ft), _to_dataset(cv, fv)
     else:
         train_ds, test_ds = stage_datasets(config)
 
@@ -137,7 +174,14 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         f.write(config.to_json())
 
     ckpt_dir = checkpoint_dir or os.path.join(run.artifact_dir, "checkpoints")
-    ckpt = CheckpointManager(ckpt_dir)
+    if max_checkpoints is None:
+        max_checkpoints = config.max_checkpoints
+    keep = config.keep_checkpoint_every if keep_every is None else keep_every
+    ckpt = CheckpointManager(
+        ckpt_dir,
+        max_to_keep=(None if max_checkpoints == 0 else max_checkpoints),
+        keep_period=keep,
+    )
 
     mesh_obj = None
     if mesh and len(jax.devices()) > 1:
@@ -171,11 +215,16 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
 def prepare_data(config_path, region) -> None:
     """Run the preprocessing pipeline and write the 4 train/test NetCDFs
     (parity with helpers/gen_train_test_netcdfs.py)."""
-    from downgan_tpu.data.staging import generate_train_test_coarse_fine, write_preprocessed
+    from downgan_tpu.data.staging import (
+        generate_train_test_coarse_fine,
+        load_fine_coords,
+        write_preprocessed,
+    )
 
     config = _load_config(config_path, region)
     arrays = generate_train_test_coarse_fine(config)
-    paths = write_preprocessed(config, *arrays)
+    lats, lons = load_fine_coords(config)
+    paths = write_preprocessed(config, *arrays, fine_lats=lats, fine_lons=lons)
     for p in paths:
         click.echo(p)
 
@@ -192,6 +241,10 @@ def prepare_data(config_path, region) -> None:
               help="Tracking store root for --run resolution.")
 @click.option("--epoch", "-e", type=int, default=None, help="Checkpoint step (default latest).")
 @click.option("--weights-only", is_flag=True, help="Checkpoint holds bare generator params.")
+@click.option("--ema", is_flag=True,
+              help="Generate with the EMA generator weights (what "
+              "EMA-trained runs actually serve; requires hp.ema_decay > 0 "
+              "at train time).")
 @click.option("--out", "-o", default=None,
               help="Output NetCDF (default: generated.nc, or the run's "
               "artifact dir under --run, like gen_fake_ds.py:52).")
@@ -214,7 +267,7 @@ def prepare_data(config_path, region) -> None:
               help="Tiles folded into one device dispatch (amortizes the "
               "host fetch round-trip).")
 def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
-             weights_only, out, synthetic, raw_covariates, subset, samples,
+             weights_only, ema, out, synthetic, raw_covariates, subset, samples,
              tile_rows, overlap, tile_cols, tiles_per_dispatch) -> None:
     """Generate super-resolved fields from a trained checkpoint and write
     them to NetCDF (parity with helpers/gen_fake_ds.py)."""
@@ -232,7 +285,7 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         out = (os.path.join(run.artifact_dir, "generated_ds.nc")
                if run is not None else "generated.nc")
 
-    times = None
+    times = lats = lons = None
     if synthetic:
         from downgan_tpu.data.dataset import synthetic_dataset
 
@@ -242,12 +295,26 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
             n_predictands=config.n_predictands, seed=config.seed,
         )
     elif raw_covariates:
-        coarse, times = rebuild_coarse_covariates(config, subset=subset)
-    else:
-        coarse, _, _, _ = load_preprocessed(config)
+        from downgan_tpu.data.staging import load_fine_coords
 
+        coarse, times = rebuild_coarse_covariates(config, subset=subset)
+        # True geospatial coords of the generated fields: the fine grid's
+        # cropped lat/lon, like the reference writes (gen_fake_ds.py:86-90,
+        # 162 — its generated ds carries the fine crop's coords).
+        lats, lons = load_fine_coords(config)
+    else:
+        from downgan_tpu.data.staging import load_preprocessed_coords
+
+        coarse, _, _, _ = load_preprocessed(config)
+        lats, lons = load_preprocessed_coords(config)
+
+    if ema and weights_only:
+        raise click.UsageError(
+            "--ema needs the full-train-state checkpoint layout; "
+            "weights-only checkpoints hold one set of params")
     g_params = restore_generator_params(config, checkpoint, step=epoch,
-                                        weights_only=weights_only)
+                                        weights_only=weights_only,
+                                        use_ema=ema)
     if tile_rows:
         from downgan_tpu.parallel.spatial import tiled_sr_inference
 
@@ -263,7 +330,15 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         times = np.asarray(times)
         if times.dtype.kind == "M":  # datetime64 -> epoch seconds
             times = times.astype("datetime64[s]").astype("float64")
-    write_generated_netcdf(out, fields, var_names=("u10", "v10"), times=times)
+    # Attach true coords only when their lengths match the generated grid
+    # (a model whose upsample ratio differs from the data scale_factor
+    # produces a different fine size; fall back to index coords then).
+    if lats is not None and len(lats) != fields.shape[1]:
+        lats = None
+    if lons is not None and len(lons) != fields.shape[2]:
+        lons = None
+    write_generated_netcdf(out, fields, var_names=("u10", "v10"), times=times,
+                           lats=lats, lons=lons)
     click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
 
 
@@ -276,6 +351,10 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
 @click.option("--tracking-root", default="experiments")
 @click.option("--epoch", "-e", type=int, default=None)
 @click.option("--weights-only", is_flag=True)
+@click.option("--ema", is_flag=True,
+              help="Serve the EMA generator weights (the standard GAN "
+              "serving trick, config.hp.ema_decay; requires an EMA-trained "
+              "full-state checkpoint).")
 @click.option("--host", default="0.0.0.0")
 @click.option("-p", "--port", type=int, default=8080)
 @click.option("--serving-batch", type=int, default=0,
@@ -287,7 +366,7 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
               help="How long the coalescer lingers for stragglers once the "
               "first request of a batch arrives.")
 def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
-          host, port, serving_batch, coalesce, max_wait_ms) -> None:
+          ema, host, port, serving_batch, coalesce, max_wait_ms) -> None:
     """Serve super-resolution inference over HTTP (POST .npy covariates to
     /v1/generate; GET /healthz, /metrics). No reference equivalent — the
     serving layer for production deployment."""
@@ -296,8 +375,13 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
 
     config, checkpoint, _ = _resolve_source_config(
         config_path, None, checkpoint, run_id, tracking_root)
+    if ema and weights_only:
+        raise click.UsageError(
+            "--ema needs the full-train-state checkpoint layout; "
+            "weights-only checkpoints hold one set of params")
     g_params = restore_generator_params(config, checkpoint, step=epoch,
-                                        weights_only=weights_only)
+                                        weights_only=weights_only,
+                                        use_ema=ema)
     if coalesce:
         model = BatchingSRModel(config, g_params, batch_size=serving_batch,
                                 max_wait_ms=max_wait_ms)
@@ -335,22 +419,38 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
 @click.option("--ema", is_flag=True,
               help="Evaluate the EMA generator weights (what EMA-trained "
               "runs actually serve) instead of the live weights.")
+@click.option("--weights-only", is_flag=True,
+              help="Checkpoint holds bare generator params (like generate/"
+              "serve). The Wass metric needs the critic and is dropped "
+              "with a warning in this mode.")
 def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
-             synthetic, samples, split, out, ema) -> None:
+             synthetic, samples, split, out, ema, weights_only) -> None:
     """Standalone test-set metric pass from a checkpoint: the metric
-    registry (hp.metrics_to_calculate) over a whole split as one compiled
-    scan, printed as one JSON line."""
+    registry (hp.metrics_to_calculate) over a whole split — full batches
+    as one compiled scan plus the ragged tail as its own batch, so every
+    held-out sample counts (parity with the reference's drop_last=False
+    test loader, stage.py:78-81 + wasserstein.py:157-169)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.state import create_state, make_models
-    from downgan_tpu.training.wgan import build_eval_scan
+    from downgan_tpu.training.wgan import build_eval_metrics, build_eval_scan
     from downgan_tpu.utils.checkpoint import CheckpointManager
 
     config, checkpoint, _ = _resolve_source_config(
         config_path, region, checkpoint, run_id, tracking_root)
+    if weights_only and "Wass" in config.hp.metrics_to_calculate:
+        click.echo("warning: --weights-only checkpoints carry no critic; "
+                   "dropping the Wass metric", err=True)
+        config = config.replace(hp=dataclasses.replace(
+            config.hp,
+            metrics_to_calculate=tuple(
+                m for m in config.hp.metrics_to_calculate if m != "Wass"),
+        ))
 
     if synthetic:
         coarse, fine = synthetic_dataset(
@@ -368,24 +468,45 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
 
     gen, critic = make_models(config)
     state = create_state(config, jax.random.PRNGKey(config.seed))
-    state = CheckpointManager(checkpoint).restore(state, step=epoch)
-    if ema:
-        if state.g_ema is None:
+    if weights_only:
+        if ema:
             raise click.UsageError(
-                "--ema requires an EMA-trained run (hp.ema_decay > 0)")
-        state = state.replace(g_params=state.g_ema)
+                "--ema needs the full-train-state checkpoint layout; "
+                "weights-only checkpoints hold one set of params")
+        from downgan_tpu.inference import restore_generator_params
+
+        state = state.replace(g_params=restore_generator_params(
+            config, checkpoint, step=epoch, weights_only=True))
+    else:
+        state = CheckpointManager(checkpoint).restore(state, step=epoch)
+        if ema:
+            if state.g_ema is None:
+                raise click.UsageError(
+                    "--ema requires an EMA-trained run (hp.ema_decay > 0)")
+            state = state.replace(g_params=state.g_ema)
 
     bs = config.hp.batch_size
-    if len(ds) < bs:
-        raise click.UsageError(
-            f"split has {len(ds)} samples < batch_size {bs} (drop-last)")
+    n = len(ds)
     perm = ds.epoch_perm(np.random.default_rng(config.seed), bs, shuffle=False)
-    stacked = jax.jit(build_eval_scan(config, gen, critic))(
-        state, ds.coarse, ds.fine, jnp.asarray(perm)
-    )
-    means = {k: round(float(jnp.mean(v)), 6) for k, v in stacked.items()}
+    sums: dict = {}
+    n_batches = 0
+    if len(perm):
+        stacked = jax.jit(build_eval_scan(config, gen, critic))(
+            state, ds.coarse, ds.fine, jnp.asarray(perm)
+        )
+        sums = {k: float(jnp.sum(v)) for k, v in stacked.items()}
+        n_batches = len(perm)
+    tail = np.arange(len(perm) * bs, n)
+    if tail.size:
+        ev = jax.jit(build_eval_metrics(config, gen, critic))
+        sel = jnp.asarray(tail)
+        for k, v in ev(state, jnp.take(ds.coarse, sel, axis=0),
+                       jnp.take(ds.fine, sel, axis=0)).items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n_batches += 1
+    means = {k: round(v / max(n_batches, 1), 6) for k, v in sums.items()}
     result = {"split": "synthetic" if synthetic else split,
-              "n_samples": int(perm.size), "step": int(state.step), **means}
+              "n_samples": n, "step": int(state.step), **means}
     line = json.dumps(result)
     if out:
         with open(out, "w") as f:

@@ -222,6 +222,16 @@ class Config:
 
     chunk_size: int = 150
 
+    # Checkpoint retention. The reference logs model artifacts for EVERY
+    # epoch (mlflow_tools/mlflow_epoch.py:65-69), which is what lets
+    # `gen_fake_ds.py -e <epoch>` restore any epoch; the parity analogue is
+    # max_checkpoints=None (keep all). The default keeps a rolling window
+    # of 3 full train states; keep_checkpoint_every=k additionally pins
+    # every k-th epoch outside the window (disk-bounded arbitrary-epoch
+    # restore).
+    max_checkpoints: Optional[int] = 3
+    keep_checkpoint_every: Optional[int] = None
+
     # Network shape parameters (derived from data by staging; defaults are
     # the florida workload: 16x16x7 coarse -> 128x128x2 fine).
     coarse_size: int = 16

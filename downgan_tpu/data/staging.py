@@ -115,6 +115,37 @@ def load_fine(config: Config) -> Tuple[Dict[str, np.ndarray], Optional[np.ndarra
     return out, times
 
 
+def load_fine_coords(
+    config: Config,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """The fine grid's true (lat, lon) coordinates cropped to the region.
+
+    The reference threads the fine dataset's cropped coordinates into the
+    generated NetCDF (``gen_fake_ds.py:181-182`` slices
+    ``dsf.U10[time_mask, sf*low:sf*up, sf*l:sf*r]`` and ``:162`` writes
+    that dataset's coords). Returns (None, None) when the fine files carry
+    no lat/lon coordinates.
+    """
+    if not config.fine_paths:
+        return None, None
+    path_or_glob = next(iter(config.fine_paths.values()))
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+    if not os.path.exists(paths[0]):
+        return None, None
+    lat = lon = None
+    with NetCDFFile(paths[0]) as f:
+        for n in f.coordinate_names:
+            std = NON_STANDARD_ATTRIBUTES.get(n, n)
+            if std == "lat":
+                lat = np.asarray(f.coord(n))
+            elif std == "lon":
+                lon = np.asarray(f.coord(n))
+    if lat is None or lon is None:
+        return None, None
+    lat_sl, lon_sl = config.region_box.fine_slices(config.scale_factor)
+    return lat[lat_sl], lon[lon_sl]
+
+
 def load_covariates(config: Config, n_times: int) -> Dict[str, np.ndarray]:
     """Load + crop coarse covariates; broadcast invariant fields along time
     (reference ``load_covariates``, ``gen_experiment_datasets.py:115-151``)."""
@@ -178,9 +209,14 @@ def write_preprocessed(
     fine_train: np.ndarray,
     coarse_test: np.ndarray,
     fine_test: np.ndarray,
+    fine_lats: Optional[np.ndarray] = None,
+    fine_lons: Optional[np.ndarray] = None,
 ) -> List[str]:
     """Write the 4 preprocessed NetCDFs (NHWC stored as (time, var, lat, lon)
-    for on-disk parity with the reference's concat layout)."""
+    for on-disk parity with the reference's concat layout). When the fine
+    grid's true coordinates are known (``load_fine_coords``) they are
+    stored on the fine files so downstream tools (``generate``) can attach
+    real geospatial coords instead of index ranges."""
     os.makedirs(config.proc_data_dir, exist_ok=True)
     paths = []
     arrays = {
@@ -193,16 +229,38 @@ def write_preprocessed(
         path = preprocessed_path(config, kind, split)
         tvhw = np.ascontiguousarray(np.transpose(arr, (0, 3, 1, 2)))
         names = list(COVARIATE_NAMES_ORDERED if kind == "coarse" else FINE_NAMES_ORDERED)
+        coords = {"time": np.arange(tvhw.shape[0], dtype=np.float64)}
+        if (kind == "fine" and fine_lats is not None and fine_lons is not None
+                and len(fine_lats) == tvhw.shape[2]
+                and len(fine_lons) == tvhw.shape[3]):
+            coords["lat"] = np.asarray(fine_lats, dtype=np.float64)
+            coords["lon"] = np.asarray(fine_lons, dtype=np.float64)
         write_netcdf(
             path,
             variables={"data": tvhw},
             dims={"data": ("time", "var", "lat", "lon")},
-            coords={"time": np.arange(tvhw.shape[0], dtype=np.float64)},
+            coords=coords,
             attrs={"data": {"variables": ",".join(names)}},
             chunks={"data": (min(64, tvhw.shape[0]), tvhw.shape[1], tvhw.shape[2], tvhw.shape[3])},
         )
         paths.append(path)
     return paths
+
+
+def load_preprocessed_coords(
+    config: Config,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Read the fine grid's stored (lat, lon) coords back from the
+    preprocessed fine-test file (written by :func:`write_preprocessed`);
+    (None, None) for files from before coords were stored."""
+    path = preprocessed_path(config, "fine", "test")
+    if not os.path.exists(path):
+        return None, None
+    with NetCDFFile(path) as f:
+        names = set(f.coordinate_names)
+        if "lat" in names and "lon" in names:
+            return np.asarray(f.coord("lat")), np.asarray(f.coord("lon"))
+    return None, None
 
 
 def load_preprocessed(config: Config) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

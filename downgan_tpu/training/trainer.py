@@ -26,6 +26,7 @@ import numpy as np
 
 from downgan_tpu.config.config import Config
 from downgan_tpu.data.dataset import DeviceDataset
+from downgan_tpu.data.feed import HostDataset, prefetch_batches
 from downgan_tpu.training.state import GANTrainState, create_state, make_models
 from downgan_tpu.training.wgan import (
     build_epoch_scan,
@@ -41,7 +42,16 @@ class NonFiniteLossError(RuntimeError):
 
 
 class Trainer:
-    """WGAN-GP trainer over device-resident datasets.
+    """WGAN-GP trainer over device-resident or host-resident datasets.
+
+    ``train``/``test`` are :class:`DeviceDataset` (HBM-resident, the fast
+    path — the reference's whole-set-on-GPU residency, stage.py:28-31) or
+    :class:`HostDataset` (host RAM, batches streamed through the
+    double-buffered ``data.feed`` pipeline for regions that don't fit
+    HBM — SURVEY §7 step 4). The fused-epoch scan is device-resident-only
+    (one compiled program gathers batches in HBM); host-fed training
+    requires ``hp.fused_epoch=False`` and trains through the per-step
+    jitted loop, bit-identical to the device-resident trajectory (tested).
 
     ``run`` is an optional :class:`downgan_tpu.tracking.Run`;
     ``checkpoint_manager`` an optional
@@ -68,6 +78,20 @@ class Trainer:
         self.config = config
         self.train_ds = train
         self.test_ds = test
+        self._host_fed = isinstance(train, HostDataset)
+        if self._host_fed and config.hp.fused_epoch:
+            raise ValueError(
+                "HostDataset training needs hp.fused_epoch=False: the "
+                "fused-epoch lax.scan gathers batches from HBM-resident "
+                "arrays (device-resident-only by design); the per-step "
+                "loop streams host batches through data.feed instead"
+            )
+        if self._host_fed and config.hp.schedule == "fused":
+            raise ValueError(
+                "HostDataset training supports schedule='reference' only "
+                "(the fused n-critic round consumes stacked multi-batch "
+                "inputs, which the host feed does not assemble)"
+            )
         self.run = run
         self.ckpt = checkpoint_manager
         self.mesh = mesh
@@ -162,10 +186,37 @@ class Trainer:
         uninterrupted run would have taken (tested)."""
         return np.random.default_rng((self.config.seed, self.epoch))
 
+    def _gather(self, ds, idx: np.ndarray):
+        """Fetch one batch as device arrays from either residency: numpy
+        fancy-indexing + transfer for HostDataset (only the batch moves),
+        on-device gather for DeviceDataset."""
+        sel = np.asarray(idx)
+        if isinstance(ds, HostDataset):
+            return jnp.asarray(ds.coarse[sel]), jnp.asarray(ds.fine[sel])
+        s = jnp.asarray(sel)
+        return jnp.take(ds.coarse, s, axis=0), jnp.take(ds.fine, s, axis=0)
+
     def _run_train_epoch(self, rng: jax.Array) -> Dict[str, float]:
         hp = self.config.hp
         bs = hp.batch_size
         perm_np = self.train_ds.epoch_perm(self._epoch_rng(), bs)
+        if self._host_fed:
+            # SURVEY §7 step 4: double-buffered host->HBM feed; the next
+            # batch's transfer overlaps the current step's compute.
+            sharding = None
+            if self.mesh is not None:
+                from downgan_tpu.parallel.mesh import batch_sharding
+
+                sharding = batch_sharding(self.mesh)
+            sums: Dict[str, float] = {}
+            n = 0
+            for coarse, fine in prefetch_batches(self.train_ds, perm_np,
+                                                 sharding=sharding):
+                self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
+                n += 1
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            return {k: v / max(n, 1) for k, v in sums.items()}
         if hp.schedule == "fused":
             n = hp.critic_iterations
             rounds = perm_np.shape[0] // n
@@ -209,9 +260,11 @@ class Trainer:
         bs = self.config.hp.batch_size
         n = len(self.test_ds)
         perm = self.test_ds.epoch_perm(self._epoch_rng(), bs, shuffle=False)
+        scan_ok = (self.config.hp.fused_epoch
+                   and not isinstance(self.test_ds, HostDataset))
         sums: Dict[str, float] = {}
         n_batches = 0
-        if len(perm) and self.config.hp.fused_epoch:
+        if len(perm) and scan_ok:
             stacked = self._eval_scan(
                 self.state, self.test_ds.coarse, self.test_ds.fine, jnp.asarray(perm)
             )
@@ -220,15 +273,13 @@ class Trainer:
             n_batches += len(perm)
         elif len(perm):
             for idx in perm:
-                coarse = jnp.take(self.test_ds.coarse, jnp.asarray(idx), axis=0)
-                fine = jnp.take(self.test_ds.fine, jnp.asarray(idx), axis=0)
+                coarse, fine = self._gather(self.test_ds, idx)
                 for k, v in self._eval_fn(self.state, coarse, fine).items():
                     sums[k] = sums.get(k, 0.0) + float(v)
             n_batches += len(perm)
         tail = np.arange(len(perm) * bs, n)
         if tail.size:
-            coarse = jnp.take(self.test_ds.coarse, jnp.asarray(tail), axis=0)
-            fine = jnp.take(self.test_ds.fine, jnp.asarray(tail), axis=0)
+            coarse, fine = self._gather(self.test_ds, tail)
             for k, v in self._eval_fn(self.state, coarse, fine).items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n_batches += 1
@@ -245,15 +296,14 @@ class Trainer:
             f"{split}_metrics.csv", {"epoch": self.epoch, **means}
         )
 
-    def _plot_split(self, split: str, ds: DeviceDataset) -> None:
+    def _plot_split(self, split: str, ds) -> None:
         if self.run is None:
             return
         # Fixed-seed random-20 selection with replacement + fake regenerated
         # only for the chosen samples (parity with gen_grid_plots.py:17-19).
         idx = grid_sample_indices(len(ds), n_samples=20)
-        sel = jnp.asarray(idx)
-        coarse_sel = jnp.take(ds.coarse, sel, axis=0)
-        real = np.asarray(jnp.take(ds.fine, sel, axis=0))
+        coarse_sel, fine_sel = self._gather(ds, idx)
+        real = np.asarray(fine_sel)
         fake = np.asarray(self._gen_fwd(self.state.g_params, coarse_sel))
         gen_grid_images(
             self.run.artifact_dir, np.asarray(coarse_sel), fake, real,

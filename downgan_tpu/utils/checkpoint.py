@@ -19,15 +19,23 @@ from downgan_tpu.training.state import GANTrainState
 
 
 class CheckpointManager:
-    """Thin wrapper around ``ocp.CheckpointManager`` for GANTrainState."""
+    """Thin wrapper around ``ocp.CheckpointManager`` for GANTrainState.
+
+    ``max_to_keep=None`` retains every epoch — the reference's behavior
+    (it logs model artifacts for EVERY epoch,
+    ``mlflow_tools/mlflow_epoch.py:65-69``, which is what lets
+    ``gen_fake_ds.py -e`` load arbitrary epochs); ``keep_period=k``
+    additionally pins every k-th step outside the rolling window."""
 
     def __init__(self, directory: str, max_to_keep: Optional[int] = 3,
-                 save_interval_steps: int = 1):
+                 save_interval_steps: int = 1,
+                 keep_period: Optional[int] = None):
         self._mngr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_steps,
+                keep_period=keep_period,
                 create=True,
             ),
         )

