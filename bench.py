@@ -32,6 +32,17 @@ reference-parity workload), BENCH_METRICS (1), BENCH_MODE (train|infer —
 infer measures generator-forward SR throughput in patches/sec), and the
 fast-path toggles BENCH_REMAT / BENCH_FUSED_CRITIC / BENCH_REUSE_FAKE
 (all 0 = reference-parity semantics).
+
+Multi-chip ready: the scanned step is jitted over a mesh of ALL devices
+(DP batch sharding) — on a v5e-8 host the same command measures 8-chip
+throughput, reporting per-chip `value` plus `aggregate_patches_per_sec`.
+On a pod, run the same command on every host with BENCH_MULTIHOST=1
+(initializes jax.distributed from the TPU environment, builds the GLOBAL
+mesh; only process 0 prints). Smoke/validation knobs: BENCH_FORCE_CPU=1
+runs on the host CPU backend (pair with
+XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual mesh),
+BENCH_SMOKE=1 shrinks the model/batch so the harness itself is testable
+off-TPU (tests/test_bench.py).
 """
 from __future__ import annotations
 
@@ -104,6 +115,23 @@ def infer_main() -> None:
 
 
 def main() -> None:
+    if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
+        # The axon TPU plugin wins over JAX_PLATFORMS env; an explicit
+        # config update before backend init is the reliable override.
+        jax.config.update("jax_platforms", "cpu")
+    multihost = os.environ.get("BENCH_MULTIHOST", "0") == "1"
+    if multihost:
+        from downgan_tpu.parallel.multihost import initialize
+
+        # Explicit coordinator knobs for off-TPU validation; on a Cloud
+        # TPU pod leave them unset (auto-detected from the environment).
+        npr = os.environ.get("BENCH_NUM_PROCESSES")
+        pid = os.environ.get("BENCH_PROCESS_ID")
+        initialize(
+            coordinator_address=os.environ.get("BENCH_COORDINATOR"),
+            num_processes=None if npr is None else int(npr),
+            process_id=None if pid is None else int(pid),
+        )
     if os.environ.get("BENCH_MODE", "train") == "infer":
         infer_main()
         return
@@ -111,32 +139,65 @@ def main() -> None:
 
     setup_cache()
     from downgan_tpu.config.config import Config, HyperParams
-    from downgan_tpu.parallel.mesh import make_mesh, replicate_state, replicated, shard_batch
+    from downgan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
     from downgan_tpu.training.state import create_state, make_models
     from downgan_tpu.training.wgan import build_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "30"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", "8" if smoke else "256"))
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "2" if smoke else "30"))
+    reps = int(os.environ.get("BENCH_REPS", "1" if smoke else "5"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32" if smoke else "bfloat16")
     with_metrics = os.environ.get("BENCH_METRICS", "1") == "1"
 
-    config = Config(hp=HyperParams(
+    model_kw = {}
+    if smoke:
+        # Harness-validation config: tiny net + metrics that work at any
+        # field size (MS-SSIM needs >=128 px), so the FULL mesh/jit/timing
+        # path runs in seconds on a virtual CPU mesh.
+        model_kw = dict(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1)
+    config = Config(**model_kw, hp=HyperParams(
         batch_size=batch,
         compute_dtype=dtype,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
         fused_critic_pass=os.environ.get("BENCH_FUSED_CRITIC", "0") == "1",
         metrics_reuse_fake=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
+        **({"metrics_to_calculate": ("MAE", "MSE", "Wass")} if smoke else {}),
     ))
-    mesh = make_mesh()
+    if multihost:
+        from downgan_tpu.parallel.multihost import global_mesh
+
+        mesh = global_mesh()
+    else:
+        mesh = make_mesh()
     gen, critic = make_models(config)
-    state = replicate_state(mesh, create_state(config, jax.random.PRNGKey(0)))
+    # Initialize ON the mesh (multihost-safe: a host-local state cannot be
+    # device_put onto another process's devices).
+    state = jax.jit(
+        lambda: create_state(config, jax.random.PRNGKey(0)),
+        out_shardings=replicated(mesh),
+    )()
 
     rng_np = np.random.default_rng(0)
-    coarse = rng_np.standard_normal((batch, 16, 16, 7)).astype(np.float32)
-    fine = rng_np.standard_normal((batch, 128, 128, 2)).astype(np.float32)
-    coarse, fine = shard_batch(mesh, coarse, fine)
-    rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+    cs, fs = config.coarse_size, config.fine_size
+    n_cov, n_pred = config.n_covariates, config.n_predictands
+    coarse = rng_np.standard_normal((batch, cs, cs, n_cov)).astype(np.float32)
+    fine = rng_np.standard_normal((batch, fs, fs, n_pred)).astype(np.float32)
+    if multihost:
+        # Per-host assembly: each process feeds only its rows of the
+        # global batch (a device_put cannot target another host's devices).
+        from downgan_tpu.parallel.multihost import (
+            make_global_batch,
+            process_batch_slice,
+        )
+
+        lo, hi = process_batch_slice(batch)
+        coarse = make_global_batch(mesh, coarse[lo:hi])
+        fine = make_global_batch(mesh, fine[lo:hi])
+        rng = np.asarray(jax.random.PRNGKey(1))  # uncommitted -> replicated
+    else:
+        coarse, fine = shard_batch(mesh, coarse, fine)
+        rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
 
     step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
 
@@ -157,6 +218,18 @@ def main() -> None:
         donate_argnums=(0,),
     )
 
+    if multihost:
+        # AOT-compile, then rendezvous through the coordination service
+        # (long gRPC timeout) BEFORE the first collective execution:
+        # per-process compile times skew (badly on shared CPUs), and the
+        # backend's collective-context setup at first execution has a
+        # short rendezvous window (Gloo KV: 30 s) that the skew overruns.
+        run = run.lower(state, coarse, fine, rng).compile()
+        from jax._src import distributed as _dist
+
+        _dist.global_state.client.wait_at_barrier(
+            "bench_compiled", timeout_in_ms=1_800_000)
+
     # NOTE: sync by fetching a scalar output, NOT block_until_ready — the
     # axon tunnel's block_until_ready can return before execution finishes
     # (observed experimentally), which silently times enqueue instead of
@@ -176,22 +249,26 @@ def main() -> None:
     steps_per_sec = scan_steps / median
     n_chips = len(jax.devices())
     pps = steps_per_sec * batch / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
-                + ("" if with_metrics else "_nometrics"),
-                "value": round(pps, 1),
-                "unit": "patches/sec/chip",
-                "vs_baseline": round(pps / A100_REFERENCE_PATCHES_PER_SEC, 3),
-                "vs_tuned_a100": round(pps / A100_TUNED_PATCHES_PER_SEC, 3),
-                "steps_per_sec": round(steps_per_sec, 3),
-                "best_steps_per_sec": round(scan_steps / best, 3),
-                "n_chips": n_chips,
-                "dtype": dtype,
-            }
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
+                    + ("" if with_metrics else "_nometrics")
+                    + ("_smoke" if smoke else ""),
+                    "value": round(pps, 1),
+                    "unit": "patches/sec/chip",
+                    "vs_baseline": round(pps / A100_REFERENCE_PATCHES_PER_SEC, 3),
+                    "vs_tuned_a100": round(pps / A100_TUNED_PATCHES_PER_SEC, 3),
+                    "steps_per_sec": round(steps_per_sec, 3),
+                    "best_steps_per_sec": round(scan_steps / best, 3),
+                    "n_chips": n_chips,
+                    "n_processes": jax.process_count(),
+                    "aggregate_patches_per_sec": round(pps * n_chips, 1),
+                    "dtype": dtype,
+                }
+            )
         )
-    )
 
 
 if __name__ == "__main__":

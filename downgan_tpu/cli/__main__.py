@@ -86,6 +86,20 @@ def cli() -> None:
 @click.option("--interactive", is_flag=True,
               help="Interactive experiment picker + run description (reference parity).")
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
+@click.option("--multihost", is_flag=True,
+              help="Multi-process (pod / multi-slice) training: initialize "
+              "jax.distributed, build the GLOBAL mesh over every host's "
+              "devices, write tracking/plots from process 0 only, "
+              "checkpoint collectively. Run the SAME command on every "
+              "host. Requires --checkpoint-dir (a path shared or mirrored "
+              "across hosts).")
+@click.option("--coordinator", default=None,
+              help="Coordinator address host:port for --multihost (omit on "
+              "Cloud TPU pods: auto-detected from the TPU environment).")
+@click.option("--num-processes", type=int, default=None,
+              help="Total process count for --multihost (omit to auto-detect).")
+@click.option("--process-id", type=int, default=None,
+              help="This process's id for --multihost (omit to auto-detect).")
 @click.option("--host-feed", is_flag=True,
               help="Keep the dataset in host RAM and stream batches through "
               "the double-buffered feed (for regions too big for HBM). "
@@ -113,10 +127,22 @@ def cli() -> None:
               "artifact dir (tracking/tensorboard.py).")
 def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
           synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
-          resume, interactive, mesh, host_feed, save_every, max_checkpoints,
+          resume, interactive, mesh, multihost, coordinator, num_processes,
+          process_id, host_feed, save_every, max_checkpoints,
           keep_every, print_every, plot_every, eof_lambda, tensorboard) -> None:
     """Train the WGAN-GP super-resolution model."""
     import dataclasses
+
+    if multihost:
+        # Must run before anything initializes a JAX backend.
+        from downgan_tpu.parallel.multihost import initialize
+
+        if checkpoint_dir is None:
+            raise click.UsageError(
+                "--multihost requires --checkpoint-dir (only process 0 "
+                "creates a tracked run, but every process checkpoints "
+                "collectively into the same directory)")
+        initialize(coordinator, num_processes, process_id)
 
     import jax
 
@@ -125,6 +151,8 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
     from downgan_tpu.tracking import TrackingStore, define_experiment, log_hyperparams, write_tags
     from downgan_tpu.training.trainer import Trainer
     from downgan_tpu.utils.checkpoint import CheckpointManager
+
+    primary = jax.process_index() == 0
 
     config = _load_config(
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
@@ -137,11 +165,23 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         config = config.replace(hp=dataclasses.replace(
             config.hp, fused_epoch=False, schedule="reference"))
 
+    mesh_obj = None
+    if multihost:
+        from downgan_tpu.parallel.multihost import global_mesh
+
+        mesh_obj = global_mesh()
+    elif mesh and len(jax.devices()) > 1:
+        from downgan_tpu.parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh()
+
     def _to_dataset(coarse, fine):
         if host_feed:
             from downgan_tpu.data.feed import HostDataset
 
             return HostDataset(coarse, fine)
+        if multihost:
+            return DeviceDataset.from_numpy_global(mesh_obj, coarse, fine)
         return DeviceDataset.from_numpy(coarse, fine)
 
     if synthetic:
@@ -153,7 +193,7 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         split = int(0.9 * samples)
         train_ds = _to_dataset(coarse[:split], fine[:split])
         test_ds = _to_dataset(coarse[split:], fine[split:])
-    elif host_feed:
+    elif host_feed or multihost:
         from downgan_tpu.data.staging import generate_train_test_coarse_fine
 
         if config.already_preprocessed:
@@ -164,14 +204,18 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
     else:
         train_ds, test_ds = stage_datasets(config)
 
-    store = TrackingStore(tracking_root)
-    exp_id = define_experiment(store, name=experiment, interactive=interactive,
-                               tag=config.experiment_tag)
-    run = store.create_run(exp_id, run_name=run_name).start()
-    log_hyperparams(run, config)
-    write_tags(run, interactive=interactive)
-    with open(run.artifact_path("config.json"), "w") as f:
-        f.write(config.to_json())
+    # Tracking writes come from process 0 only; the training computation
+    # itself is identical on every process (SPMD).
+    run = None
+    if primary:
+        store = TrackingStore(tracking_root)
+        exp_id = define_experiment(store, name=experiment, interactive=interactive,
+                                   tag=config.experiment_tag)
+        run = store.create_run(exp_id, run_name=run_name).start()
+        log_hyperparams(run, config)
+        write_tags(run, interactive=interactive)
+        with open(run.artifact_path("config.json"), "w") as f:
+            f.write(config.to_json())
 
     ckpt_dir = checkpoint_dir or os.path.join(run.artifact_dir, "checkpoints")
     if max_checkpoints is None:
@@ -183,30 +227,27 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         keep_period=keep,
     )
 
-    mesh_obj = None
-    if mesh and len(jax.devices()) > 1:
-        from downgan_tpu.parallel.mesh import make_mesh
-
-        mesh_obj = make_mesh()
-
     trainer = Trainer(
         config, train_ds, test_ds, run=run, checkpoint_manager=ckpt,
         mesh=mesh_obj, save_every=save_every, print_every=print_every,
         plot_every=plot_every,
         tensorboard_dir=(os.path.join(run.artifact_dir, "tensorboard")
-                         if tensorboard else None),
+                         if tensorboard and run is not None else None),
     )
     if resume:
         trainer.maybe_resume()
     try:
         trainer.train()
-        run.end("FINISHED")
+        if run is not None:
+            run.end("FINISHED")
     except BaseException:
-        run.end("FAILED")
+        if run is not None:
+            run.end("FAILED")
         raise
     finally:
         ckpt.close()
-    click.echo(f"run {run.run_id} finished; artifacts in {run.artifact_dir}")
+    if run is not None:
+        click.echo(f"run {run.run_id} finished; artifacts in {run.artifact_dir}")
 
 
 @cli.command("prepare-data")

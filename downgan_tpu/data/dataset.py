@@ -70,6 +70,29 @@ class DeviceDataset:
             )
         return DeviceDataset(jnp.asarray(coarse), jnp.asarray(fine))
 
+    @staticmethod
+    def from_numpy_global(
+        mesh: jax.sharding.Mesh,
+        coarse: np.ndarray,
+        fine: np.ndarray,
+        dtype: np.dtype = np.float32,
+    ) -> "DeviceDataset":
+        """Multihost staging: replicated GLOBAL arrays over a mesh that may
+        span processes. Each process supplies the full array for its
+        addressable shards (``jax.make_array_from_callback``; a plain
+        ``device_put`` cannot target another host's devices) — the analogue
+        of the reference's whole-set-on-GPU residency for a pod, feeding
+        the compiled DP epoch scan unchanged."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+
+        def put(a: np.ndarray) -> jax.Array:
+            a = np.asarray(a, dtype=dtype)
+            return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+        return DeviceDataset(put(coarse), put(fine))
+
 
 def _correlated_field(
     rng: np.random.Generator, shape: Tuple[int, int, int], slope: float = -1.5

@@ -1,8 +1,9 @@
-"""Multi-host (pod / multi-slice) scaffolding.
+"""Multi-host (pod / multi-slice) training support.
 
 One v5e host sees only its local chips; a pod run is one JAX program per
-host coordinated through ``jax.distributed``. These helpers wrap the
-standard recipe so the Trainer/CLI work unchanged on a pod:
+host coordinated through ``jax.distributed``. These helpers implement the
+standard recipe, and the Trainer/CLI consume them directly
+(``Trainer(multihost=...)`` / ``train --multihost``):
 
   * :func:`initialize` — `jax.distributed.initialize` from env or args
     (no-op on single-host, so the same entry point runs everywhere);
@@ -11,11 +12,16 @@ standard recipe so the Trainer/CLI work unchanged on a pod:
   * :func:`process_batch_slice` — which rows of a global batch this host
     must feed (per-host data loading: every host materializes only its
     shard, then `jax.make_array_from_process_local_data` assembles the
-    global array).
+    global array). The Trainer's multihost HostDataset path feeds exactly
+    this way; its DeviceDataset path replicates the set globally
+    (``DeviceDataset.from_numpy_global``) and runs the compiled DP epoch
+    scan.
 
-Hardware with >1 host is not reachable in this environment; the slicing
-math and single-host no-op path are tested, the rest follows the standard
-jax.distributed contract.
+Hardware with >1 host is not reachable in this environment; the FULL
+Trainer loop (epochs + checkpoints + tracker metrics) is integration-
+tested across 2 real processes on a CPU mesh
+(``tests/test_parallel.py::test_two_process_full_trainer``) against the
+single-process trajectory.
 """
 from __future__ import annotations
 

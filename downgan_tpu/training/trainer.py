@@ -74,11 +74,36 @@ class Trainer:
         verbose: bool = True,
         eof_components=None,
         halt_on_nonfinite: bool = True,
+        multihost: Optional[bool] = None,
     ):
         self.config = config
         self.train_ds = train
         self.test_ds = test
         self._host_fed = isinstance(train, HostDataset)
+        # Multihost (pod) mode: one JAX process per host, coordinated via
+        # jax.distributed (parallel.multihost.initialize); auto-detected
+        # from the process count. The mesh must be the GLOBAL mesh
+        # (multihost.global_mesh), datasets are either HostDataset (each
+        # host feeds only its batch rows: process_batch_slice +
+        # make_global_batch) or DeviceDataset.from_numpy_global (replicated
+        # global arrays feeding the compiled DP epoch scan). Tracking/plots
+        # write from process 0 only; Orbax checkpointing is collective
+        # (every process calls save/restore).
+        self.multihost = (jax.process_count() > 1) if multihost is None else multihost
+        self._primary = jax.process_index() == 0
+        if self.multihost:
+            if mesh is None:
+                raise ValueError(
+                    "multihost training requires the global mesh: pass "
+                    "mesh=parallel.multihost.global_mesh()"
+                )
+            if not self._host_fed and not config.hp.fused_epoch:
+                raise ValueError(
+                    "multihost per-step training feeds per-host batch rows "
+                    "and needs a HostDataset (train --host-feed); "
+                    "DeviceDataset multihost training runs the fused epoch "
+                    "scan (hp.fused_epoch=True)"
+                )
         if self._host_fed and config.hp.fused_epoch:
             raise ValueError(
                 "HostDataset training needs hp.fused_epoch=False: the "
@@ -130,14 +155,20 @@ class Trainer:
             self.tb = TensorBoardSink(tensorboard_dir)
 
         self.gen, self.critic = make_models(config)
-        self.state: GANTrainState = create_state(config, jax.random.PRNGKey(config.seed))
         self.epoch = 0
 
         if mesh is not None:
             from downgan_tpu.parallel.dp import build_dp_epoch_scan, build_dp_train_step
-            from downgan_tpu.parallel.mesh import replicate_state
+            from downgan_tpu.parallel.mesh import replicated
 
-            self.state = replicate_state(mesh, self.state)
+            # Build the replicated state ON the mesh (jit with replicated
+            # out_shardings): a host-local state cannot be device_put onto
+            # another process's devices, and the same seed yields the same
+            # params in every process — the standard multihost recipe.
+            self.state: GANTrainState = jax.jit(
+                lambda: create_state(config, jax.random.PRNGKey(config.seed)),
+                out_shardings=replicated(mesh),
+            )()
             self._epoch_fn = build_dp_epoch_scan(
                 config, self.gen, self.critic, mesh,
                 eof_components=self.eof_components)
@@ -147,6 +178,7 @@ class Trainer:
         else:
             from downgan_tpu.training.wgan import build_fused_round
 
+            self.state = create_state(config, jax.random.PRNGKey(config.seed))
             step_builder = (
                 build_fused_round if config.hp.schedule == "fused" else build_train_step
             )
@@ -174,7 +206,7 @@ class Trainer:
         # Checkpoints are written AFTER an epoch completes, so training
         # continues at the next one.
         self.epoch = int(self.ckpt.latest_step()) + 1
-        if self.verbose:
+        if self.verbose and self._primary:
             print(f"resumed from checkpoint of epoch {self.epoch - 1}; "
                   f"continuing at epoch {self.epoch}")
         return True
@@ -187,12 +219,18 @@ class Trainer:
         return np.random.default_rng((self.config.seed, self.epoch))
 
     def _gather(self, ds, idx: np.ndarray):
-        """Fetch one batch as device arrays from either residency: numpy
-        fancy-indexing + transfer for HostDataset (only the batch moves),
-        on-device gather for DeviceDataset."""
+        """Fetch one batch from either residency: numpy fancy-indexing for
+        HostDataset (only the batch moves to device, via the jitted
+        consumer), on-device gather for DeviceDataset. In multihost mode a
+        DeviceDataset is a replicated GLOBAL array — eager ops on it are
+        not process-local, so fetch the (fully-replicated) value and index
+        on host; the jitted consumers treat the numpy batch as replicated.
+        """
         sel = np.asarray(idx)
         if isinstance(ds, HostDataset):
-            return jnp.asarray(ds.coarse[sel]), jnp.asarray(ds.fine[sel])
+            return ds.coarse[sel], ds.fine[sel]
+        if self.multihost:
+            return np.asarray(ds.coarse)[sel], np.asarray(ds.fine)[sel]
         s = jnp.asarray(sel)
         return jnp.take(ds.coarse, s, axis=0), jnp.take(ds.fine, s, axis=0)
 
@@ -200,6 +238,28 @@ class Trainer:
         hp = self.config.hp
         bs = hp.batch_size
         perm_np = self.train_ds.epoch_perm(self._epoch_rng(), bs)
+        if self._host_fed and self.multihost:
+            # Pod data path: the permutation is a pure function of
+            # (seed, epoch) so every process draws the SAME global batch
+            # order; each host materializes only its rows
+            # (process_batch_slice) and the global batch is assembled
+            # device-side (make_global_batch) — per-host data loading.
+            from downgan_tpu.parallel.multihost import (
+                make_global_batch,
+                process_batch_slice,
+            )
+
+            lo, hi = process_batch_slice(bs)
+            sums: Dict[str, float] = {}
+            n = 0
+            for idx in perm_np:
+                coarse = make_global_batch(self.mesh, self.train_ds.coarse[idx[lo:hi]])
+                fine = make_global_batch(self.mesh, self.train_ds.fine[idx[lo:hi]])
+                self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
+                n += 1
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            return {k: v / max(n, 1) for k, v in sums.items()}
         if self._host_fed:
             # SURVEY §7 step 4: double-buffered host->HBM feed; the next
             # batch's transfer overlaps the current step's compute.
@@ -226,17 +286,18 @@ class Trainer:
                     f"critic_iterations={n} needed per fused round"
                 )
             perm_np = perm_np[: rounds * n].reshape(rounds, n, bs)
-        perm = jnp.asarray(perm_np)
+        # numpy perm: uncommitted inputs are valid replicated args in both
+        # single- and multi-process jit (a committed local-device array
+        # could not be respread over a global mesh).
         if self.config.hp.fused_epoch:
             self.state, stacked = self._epoch_fn(
-                self.state, self.train_ds.coarse, self.train_ds.fine, perm, rng
+                self.state, self.train_ds.coarse, self.train_ds.fine, perm_np, rng
             )
             return {k: float(jnp.mean(v)) for k, v in stacked.items()}
         sums: Dict[str, float] = {}
         n = 0
-        for idx in np.asarray(perm):
-            coarse = jnp.take(self.train_ds.coarse, jnp.asarray(idx), axis=0)
-            fine = jnp.take(self.train_ds.fine, jnp.asarray(idx), axis=0)
+        for idx in perm_np:
+            coarse, fine = self._gather(self.train_ds, idx)
             self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
             n += 1
             for k, v in metrics.items():
@@ -266,7 +327,7 @@ class Trainer:
         n_batches = 0
         if len(perm) and scan_ok:
             stacked = self._eval_scan(
-                self.state, self.test_ds.coarse, self.test_ds.fine, jnp.asarray(perm)
+                self.state, self.test_ds.coarse, self.test_ds.fine, perm
             )
             for k, v in stacked.items():
                 sums[k] = float(jnp.sum(v))
@@ -317,6 +378,10 @@ class Trainer:
         while self.epoch < epochs:
             t0 = time.perf_counter()
             rng = jax.random.fold_in(base_rng, self.epoch)
+            if self.multihost:
+                # uncommitted (numpy) key: valid as a replicated arg over
+                # the global mesh; identical on every process by seed.
+                rng = np.asarray(rng)
             train_means = self._run_train_epoch(rng)
             self._log_epoch("train", train_means)
             if self.halt_on_nonfinite:
@@ -341,7 +406,7 @@ class Trainer:
             if self.ckpt is not None and self.epoch % self.save_every == 0:
                 self.ckpt.save(self.epoch, self.state)
 
-            if self.verbose and self.epoch % self.print_every == 0:
+            if self.verbose and self._primary and self.epoch % self.print_every == 0:
                 dt = time.perf_counter() - t0
                 msg = ", ".join(f"{k}={v:.4g}" for k, v in sorted(train_means.items()))
                 print(f"epoch {self.epoch} [{dt:.1f}s] {msg}", flush=True)
