@@ -119,6 +119,7 @@ def synthetic_dataset(
     n_covariates: int = 7,
     n_predictands: int = 2,
     seed: int = 0,
+    covariate_noise: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthetic paired (coarse, fine) set, NHWC, standardized.
 
@@ -128,6 +129,14 @@ def synthetic_dataset(
     covariates are independent correlated fields (stand-ins for lsm, sp,
     sr, z, cape). Serves the role of the reference's ``coarse_test.nc``
     fixture + ``gen_fake_ds`` synthetic path for tests and benchmarks.
+
+    ``covariate_noise`` > 0 adds white noise of that std to the block-
+    averaged covariates (the fields are ~unit variance), degrading the
+    predictors to a realistic SNR — regridded reanalysis covariates are
+    not a deterministic function of the target the way a pure block
+    average is. Used by the fixed-budget quality gate
+    (``benchmarks/quality_gate.py``); the default 0 keeps every existing
+    fixture bit-identical.
     """
     rng = np.random.default_rng(seed)
     factor = fine_size // coarse_size
@@ -139,6 +148,10 @@ def synthetic_dataset(
     coarse_from_fine = fine.reshape(
         n_samples, coarse_size, factor, coarse_size, factor, n_predictands
     ).mean(axis=(2, 4))
+    if covariate_noise > 0.0:
+        coarse_from_fine = coarse_from_fine + covariate_noise * rng.standard_normal(
+            coarse_from_fine.shape
+        ).astype(np.float32)
     extra = np.stack(
         [
             _correlated_field(rng, (n_samples, coarse_size, coarse_size))

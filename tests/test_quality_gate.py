@@ -1,0 +1,35 @@
+"""The fixed-budget quality gate's harness runs end-to-end (VERDICT r2 #9).
+
+The REAL gate (300 epochs at florida scale, MSSSIM/RALSD thresholds) runs
+on TPU hardware as one command — ``python benchmarks/quality_gate.py`` —
+with calibrated thresholds; this test exercises the full harness path
+(noisy-covariate synthetic data, Trainer budget run, JSON verdict, exit
+code) in smoke mode on CPU so CI catches harness rot.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+GATE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                    "benchmarks", "quality_gate.py")
+
+
+def test_quality_gate_smoke():
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, GATE, "--smoke"], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, proc.stdout
+    rec = json.loads(lines[-1])
+    assert rec["gate"] == "quality"
+    assert rec["smoke"] is True
+    assert rec["passed"] is True
+    # smoke mode still trains for real: finite metrics from the test pass
+    assert rec["metrics"]["MAE_test"] > 0
+    assert rec["metrics"]["Wass_test"] == rec["metrics"]["Wass_test"]  # not NaN
