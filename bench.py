@@ -10,8 +10,9 @@ critic update with nested-grad gradient penalty, scheduled generator
 update, MAE/MSE/MSSSIM/Wass metric pass per step.
 
 Default configuration is the measured single-chip production point
-(batch 256, bfloat16 — convergence-receipted in PERF.md); the
-reference-parity workload (batch 64, fp32) stays one env var away.
+(batch 128, bfloat16 — the measured throughput knee in both rounds 2 and
+3, convergence-receipted in PERF.md); the reference-parity workload
+(batch 64, fp32) stays one env var away.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline``
 compares patches/sec/chip against a DERIVED as-shipped A100 reference of
@@ -26,7 +27,7 @@ reproduction script: BASELINE.md "Derived A100 reference throughput" /
 benchmarks/reference_cpu_step.py.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Env knobs: BENCH_BATCH (256), BENCH_SCAN_STEPS (30), BENCH_REPS (5),
+Env knobs: BENCH_BATCH (128), BENCH_SCAN_STEPS (30), BENCH_REPS (5),
 BENCH_DTYPE (bfloat16; set float32 + BENCH_BATCH=64 for the
 reference-parity workload), BENCH_METRICS (1), BENCH_MODE (train|infer —
 infer measures generator-forward SR throughput in patches/sec), and the
@@ -144,7 +145,7 @@ def main() -> None:
     from downgan_tpu.training.wgan import build_train_step
 
     smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "8" if smoke else "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "8" if smoke else "128"))
     scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "2" if smoke else "30"))
     reps = int(os.environ.get("BENCH_REPS", "1" if smoke else "5"))
     dtype = os.environ.get("BENCH_DTYPE", "float32" if smoke else "bfloat16")
@@ -255,6 +256,9 @@ def main() -> None:
                 {
                     "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
                     + ("" if with_metrics else "_nometrics")
+                    + ("_reusefake" if config.hp.metrics_reuse_fake else "")
+                    + ("_fusedcritic" if config.hp.fused_critic_pass else "")
+                    + ("_remat" if config.hp.remat else "")
                     + ("_smoke" if smoke else ""),
                     "value": round(pps, 1),
                     "unit": "patches/sec/chip",

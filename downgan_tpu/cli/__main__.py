@@ -34,15 +34,35 @@ def _load_config(config_path: Optional[str], region: Optional[str], **hp_overrid
     return config
 
 
+def _bundle_parts(checkpoint):
+    """Exported-bundle detection: ``downgan export`` writes
+    ``<dir>/params`` (weights-only Orbax) + ``<dir>/config.json``. Returns
+    ``(params_path, config)`` for such a directory, else ``None``."""
+    if checkpoint is None:
+        return None
+    params = os.path.join(checkpoint, "params")
+    cfg = os.path.join(checkpoint, "config.json")
+    if not (os.path.isdir(params) and os.path.exists(cfg)):
+        return None
+    with open(cfg) as f:
+        return params, Config.from_json(f.read())
+
+
 def _resolve_source_config(config_path, region, checkpoint, run_id,
                            tracking_root):
     """Shared --checkpoint/--run resolution for generate/serve/evaluate:
     exactly one source; --run resolves checkpoints AND the logged config
-    through the tracking store; an explicit --config wins."""
+    through the tracking store; an explicit --config wins. Returns
+    ``(config, checkpoint, run, bundle)`` — ``bundle=True`` means
+    ``checkpoint`` now points at a weights-only exported bundle's params
+    (``downgan export``) and the caller must restore weights-only."""
     if (checkpoint is None) == (run_id is None):
         raise click.UsageError("pass exactly one of --checkpoint or --run")
     run = run_config = None
-    if run_id is not None:
+    bundle = _bundle_parts(checkpoint)
+    if bundle is not None:
+        checkpoint, run_config = bundle
+    elif run_id is not None:
         from downgan_tpu.inference import resolve_run_checkpoint
 
         run, checkpoint, run_config = resolve_run_checkpoint(tracking_root, run_id)
@@ -51,8 +71,20 @@ def _resolve_source_config(config_path, region, checkpoint, run_id,
     elif run_config is not None:
         config = run_config.replace(region=region) if region else run_config
     else:
-        config = _load_config(None, region)
-    return config, checkpoint, run
+        # A Trainer checkpoint dir lives inside the run's artifact layout
+        # (<artifacts>/checkpoints next to the logged <artifacts>/config.json)
+        # — pick the logged config up so --checkpoint alone reconstructs the
+        # trained model, like --run does through the store.
+        sibling = (os.path.join(os.path.dirname(os.path.abspath(checkpoint)),
+                                "config.json") if checkpoint else None)
+        if sibling and os.path.exists(sibling):
+            with open(sibling) as f:
+                config = Config.from_json(f.read())
+            if region:
+                config = config.replace(region=region)
+        else:
+            config = _load_config(None, region)
+    return config, checkpoint, run, bundle is not None
 
 
 @click.group()
@@ -320,8 +352,9 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         write_generated_netcdf,
     )
 
-    config, checkpoint, run = _resolve_source_config(
+    config, checkpoint, run, bundle = _resolve_source_config(
         config_path, region, checkpoint, run_id, tracking_root)
+    weights_only = weights_only or bundle
     if out is None:
         out = (os.path.join(run.artifact_dir, "generated_ds.nc")
                if run is not None else "generated.nc")
@@ -383,6 +416,49 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
 
 
+@cli.command("export")
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--checkpoint", "-c", default=None,
+              help="Full-train-state checkpoint directory to export from.")
+@click.option("--run", "run_id", default=None,
+              help="Tracked run id to export from (resolved like generate --run).")
+@click.option("--tracking-root", default="experiments")
+@click.option("--epoch", "-e", type=int, default=None,
+              help="Checkpoint step to export (default: latest).")
+@click.option("--ema", is_flag=True,
+              help="Bake the EMA generator weights into the bundle (the "
+              "standard GAN serving weights; requires hp.ema_decay > 0 at "
+              "train time).")
+@click.option("--out", "-o", required=True, type=click.Path(),
+              help="Output bundle directory (created).")
+def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
+                  ema, out) -> None:
+    """Export a self-contained servable generator bundle: weights-only
+    params + the model config, dropping critic and optimizer state (~3x
+    smaller than a train checkpoint).
+
+    The TPU-native analogue of the reference's per-epoch weights-only
+    artifacts (``mlflow_tools/mlflow_epoch.py:65-69``), as an explicit
+    deploy step: ``serve`` / ``generate`` / ``evaluate`` load the bundle
+    with just ``--checkpoint <out>`` (weights-only is auto-detected).
+    """
+    from downgan_tpu.inference import restore_generator_params
+    from downgan_tpu.utils.checkpoint import save_params
+
+    config, checkpoint, _, bundle = _resolve_source_config(
+        config_path, None, checkpoint, run_id, tracking_root)
+    if bundle:
+        raise click.UsageError(f"{checkpoint} is already an exported bundle")
+    g_params = restore_generator_params(config, checkpoint, step=epoch,
+                                        use_ema=ema)
+    out = os.path.abspath(out)
+    os.makedirs(out, exist_ok=True)
+    save_params(os.path.join(out, "params"), g_params)
+    with open(os.path.join(out, "config.json"), "w") as f:
+        f.write(config.to_json())
+    click.echo(f"exported {'EMA ' if ema else ''}generator bundle to {out}")
+
+
 @cli.command()
 @click.option("--config", "config_path", type=click.Path(exists=True), default=None)
 @click.option("--checkpoint", "-c", default=None, help="Checkpoint directory.")
@@ -414,12 +490,14 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
     from downgan_tpu.inference import restore_generator_params
     from downgan_tpu.serving import BatchingSRModel, SRModel, serve_model
 
-    config, checkpoint, _ = _resolve_source_config(
+    config, checkpoint, _, bundle = _resolve_source_config(
         config_path, None, checkpoint, run_id, tracking_root)
+    weights_only = weights_only or bundle
     if ema and weights_only:
         raise click.UsageError(
             "--ema needs the full-train-state checkpoint layout; "
-            "weights-only checkpoints hold one set of params")
+            "weights-only checkpoints (incl. exported bundles) hold one "
+            "set of params — export with --ema instead")
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only,
                                         use_ema=ema)
@@ -482,8 +560,9 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     from downgan_tpu.training.wgan import build_eval_metrics, build_eval_scan
     from downgan_tpu.utils.checkpoint import CheckpointManager
 
-    config, checkpoint, _ = _resolve_source_config(
+    config, checkpoint, _, bundle = _resolve_source_config(
         config_path, region, checkpoint, run_id, tracking_root)
+    weights_only = weights_only or bundle
     if weights_only and "Wass" in config.hp.metrics_to_calculate:
         click.echo("warning: --weights-only checkpoints carry no critic; "
                    "dropping the Wass metric", err=True)

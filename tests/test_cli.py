@@ -450,3 +450,77 @@ def test_train_host_feed_cli(tmp_path, tiny_config_file):
     assert "finished" in result.output
     art = glob.glob(os.path.join(tracking_root, "*", "*", "artifacts"))[0]
     assert os.path.exists(os.path.join(art, "train_metrics.csv"))
+
+
+def test_export_bundle_cli(tmp_path):
+    """`export` writes a self-contained weights-only bundle (params +
+    config.json) that serve/generate/evaluate load with just --checkpoint
+    (auto-detected); the EMA bundle bakes the EMA weights in."""
+    config = Config(
+        coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+        hp=HyperParams(batch_size=8, epochs=2, ema_decay=0.5,
+                       metrics_to_calculate=("MAE", "MSE", "Wass")),
+    )
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(config.to_json())
+    tracking_root = str(tmp_path / "exps")
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["train", "--config", str(cfg_path), "--synthetic", "--samples", "32",
+         "--tracking-root", tracking_root, "--experiment", "export"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    ckpt_dir = glob.glob(os.path.join(tracking_root, "*", "*", "artifacts",
+                                      "checkpoints"))[0]
+
+    live_bundle = str(tmp_path / "bundle_live")
+    ema_bundle = str(tmp_path / "bundle_ema")
+    for args, out in ((["--checkpoint", ckpt_dir], live_bundle),
+                      (["--checkpoint", ckpt_dir, "--ema"], ema_bundle)):
+        result = runner.invoke(cli, ["export"] + args + ["--out", out],
+                               catch_exceptions=False)
+        assert result.exit_code == 0, result.output
+        assert os.path.isdir(os.path.join(out, "params"))
+        assert os.path.exists(os.path.join(out, "config.json"))
+
+    # generate from each bundle: NO --config, NO --weights-only needed;
+    # outputs must match full-checkpoint generate (live / --ema).
+    from downgan_tpu.data.netcdf import NetCDFFile
+
+    def gen(src_args, name):
+        out_nc = str(tmp_path / f"{name}.nc")
+        result = runner.invoke(
+            cli, ["generate"] + src_args + ["--synthetic", "--samples", "6",
+                                            "--out", out_nc],
+            catch_exceptions=False)
+        assert result.exit_code == 0, (name, result.output)
+        with NetCDFFile(out_nc) as f:
+            return np.asarray(f.variable("u10").data)
+
+    full_live = gen(["--config", str(cfg_path), "--checkpoint", ckpt_dir], "full")
+    full_ema = gen(["--config", str(cfg_path), "--checkpoint", ckpt_dir,
+                    "--ema"], "full_ema")
+    np.testing.assert_array_equal(gen(["--checkpoint", live_bundle], "live"),
+                                  full_live)
+    np.testing.assert_array_equal(gen(["--checkpoint", ema_bundle], "ema"),
+                                  full_ema)
+    assert not np.array_equal(full_live, full_ema)
+
+    # evaluate from the bundle: weights-only auto-detected, Wass dropped
+    out_json = str(tmp_path / "eval.json")
+    result = runner.invoke(
+        cli, ["evaluate", "--checkpoint", live_bundle, "--synthetic",
+              "--samples", "12", "--out", out_json],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "dropping the Wass metric" in result.output
+    means = json.loads(open(out_json).read())
+    assert "Wass" not in means and np.isfinite(means["MAE"])
+
+    # exporting FROM a bundle is a clean usage error
+    result = runner.invoke(cli, ["export", "--checkpoint", live_bundle,
+                                 "--out", str(tmp_path / "b2")])
+    assert result.exit_code != 0
+    assert "already an exported bundle" in result.output
