@@ -390,12 +390,22 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
                                         weights_only=weights_only,
                                         use_ema=ema)
     if tile_rows:
+        import jax
+
         from downgan_tpu.parallel.spatial import tiled_sr_inference
 
+        mesh = None
+        if len(jax.devices()) > 1:
+            # Multi-chip host: shard the tiles data-parallel over all
+            # devices (bit-identical to single-device, tested).
+            from downgan_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         fields = tiled_sr_inference(config, g_params, coarse,
                                     tile_rows=tile_rows, overlap=overlap,
                                     tile_cols=tile_cols,
-                                    tiles_per_dispatch=tiles_per_dispatch)
+                                    tiles_per_dispatch=tiles_per_dispatch,
+                                    mesh=mesh)
     else:
         fields = generate_fields(config, g_params, coarse)
     import numpy as np
@@ -482,8 +492,12 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
 @click.option("--max-wait-ms", type=float, default=5.0,
               help="How long the coalescer lingers for stragglers once the "
               "first request of a batch arrives.")
+@click.option("--mesh/--no-mesh", "use_mesh", default=True,
+              help="Shard domain-request tiles data-parallel over all "
+              "devices (multi-chip hosts; bit-identical to single-device).")
 def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
-          ema, host, port, serving_batch, coalesce, max_wait_ms) -> None:
+          ema, host, port, serving_batch, coalesce, max_wait_ms,
+          use_mesh) -> None:
     """Serve super-resolution inference over HTTP (POST .npy covariates to
     /v1/generate; GET /healthz, /metrics). No reference equivalent — the
     serving layer for production deployment."""
@@ -501,11 +515,18 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only,
                                         use_ema=ema)
+    import jax
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        from downgan_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     if coalesce:
         model = BatchingSRModel(config, g_params, batch_size=serving_batch,
-                                max_wait_ms=max_wait_ms)
+                                max_wait_ms=max_wait_ms, mesh=mesh)
     else:
-        model = SRModel(config, g_params, batch_size=serving_batch)
+        model = SRModel(config, g_params, batch_size=serving_batch, mesh=mesh)
     server = serve_model(model, host, port)
     click.echo(f"SR inference on http://{host}:{port} (batch {model.batch}, "
                f"coalesce={coalesce})")

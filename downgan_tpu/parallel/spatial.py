@@ -91,19 +91,29 @@ _TILED_FWD_CACHE_MAX = 8
 _TILED_FWD_CACHE_LOCK = threading.Lock()
 
 
-def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
+def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int,
+                    mesh: Optional[Mesh] = None):
     """Jitted generator-forward + per-tile on-device crop, cached per
-    (model config, crop size) so repeated :func:`tiled_sr_inference` calls
-    (a server evaluating many domains) reuse one traced program instead of
-    paying ~1 s of retracing per call. LRU-bounded: the crop size is
-    client-controlled on the serving surface, so the cache must not grow
-    without limit. The module lock makes lookup/insert/evict safe for
-    direct library callers on multiple threads (SRModel._lock only
-    accidentally serialized single-model use)."""
+    (model config, crop size, mesh) so repeated :func:`tiled_sr_inference`
+    calls (a server evaluating many domains) reuse one traced program
+    instead of paying ~1 s of retracing per call. LRU-bounded: the crop
+    size is client-controlled on the serving surface, so the cache must
+    not grow without limit. The module lock makes lookup/insert/evict safe
+    for direct library callers on multiple threads (SRModel._lock only
+    accidentally serialized single-model use).
+
+    With ``mesh`` the tile batch is sharded over the mesh's FIRST axis
+    (params replicated, per-tile crop offsets sharded with their tiles) —
+    data-parallel inference: every chip evaluates its share of the tiles
+    of one domain.
+    """
     import collections
 
     global _TILED_FWD_CACHE
-    key = (config.to_json(), keep_h, keep_w)
+    mesh_key = (None if mesh is None else
+                (tuple(mesh.axis_names),
+                 tuple(d.id for d in mesh.devices.flat)))
+    key = (config.to_json(), keep_h, keep_w, mesh_key)
     with _TILED_FWD_CACHE_LOCK:
         if _TILED_FWD_CACHE is None:
             _TILED_FWD_CACHE = collections.OrderedDict()
@@ -118,8 +128,7 @@ def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
 
     gen, _ = make_models(config)
 
-    @jax.jit
-    def fwd_crop(params, chunk, kr, kc):
+    def fwd_crop_fn(params, chunk, kr, kc):
         fine = gen.apply(params, chunk)  # (K, band_h*sf, band_w*sf, P)
 
         def crop(f, r, c):
@@ -127,6 +136,21 @@ def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int):
                 f, (r, c, 0), (keep_h, keep_w, f.shape[-1]))
 
         return jax.vmap(crop)(fine, kr, kc)
+
+    if mesh is None:
+        fwd_crop = jax.jit(fwd_crop_fn)
+    else:
+        from jax.sharding import NamedSharding
+
+        ax = mesh.axis_names[0]
+        rep = NamedSharding(mesh, P())
+        tiles = NamedSharding(mesh, P(ax, None, None, None))
+        offs = NamedSharding(mesh, P(ax))
+        fwd_crop = jax.jit(
+            fwd_crop_fn,
+            in_shardings=(rep, tiles, offs, offs),
+            out_shardings=tiles,
+        )
 
     with _TILED_FWD_CACHE_LOCK:
         fn = _TILED_FWD_CACHE.setdefault(key, fwd_crop)
@@ -158,6 +182,7 @@ def tiled_sr_inference(
     overlap: int = 8,
     tile_cols: int = 0,
     tiles_per_dispatch: int = 8,
+    mesh: Optional[Mesh] = None,
 ) -> np.ndarray:
     """Full-domain super-resolution by 2-D overlap tiling.
 
@@ -181,6 +206,13 @@ def tiled_sr_inference(
     interior, cutting device->host bytes 2x for row bands and 4x for 2-D
     tiles (PERF.md measures the tunnel D2H at ~27 MB/s, so fetched bytes,
     not dispatches, dominate full-domain latency here).
+
+    ``mesh``: data-parallel multi-chip inference — each dispatch's tiles
+    are sharded over the mesh's first axis (tiles are independent, so this
+    is embarrassingly parallel; ``tiles_per_dispatch`` is rounded up to a
+    multiple of the mesh size). Bit-identical to the unsharded path
+    (tested); pre-place ``g_params`` replicated on the mesh to skip a
+    transfer per dispatch.
     """
     if tile_rows < 1 or overlap < 0 or tile_cols < 0:
         raise ValueError(
@@ -196,7 +228,7 @@ def tiled_sr_inference(
     band_w = tile_cols + 2 * overlap if tile_cols else w
     keep_h = min(tile_rows, h) * sf
     keep_w = (min(tile_cols, w) if tile_cols else w) * sf
-    fwd_crop = _tiled_fwd_crop(config, keep_h, keep_w)
+    fwd_crop = _tiled_fwd_crop(config, keep_h, keep_w, mesh=mesh)
 
     if h < band_h:
         raise ValueError(f"domain height {h} smaller than band {band_h}; "
@@ -221,6 +253,11 @@ def tiled_sr_inference(
 
     out = np.zeros((b, h * sf, w * sf, config.n_predictands), np.float32)
     k = max(1, tiles_per_dispatch)
+    if mesh is not None:
+        # Static shapes: every dispatch pads to a multiple of the mesh
+        # size so one compiled sharded program serves all of them.
+        n_dev = mesh.devices.size
+        k = -(-k // n_dev) * n_dev
     for start in range(0, len(places), k):
         sel = places[start : start + k]
         chunk = np.stack(

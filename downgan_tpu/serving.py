@@ -51,13 +51,24 @@ class SRModel:
 
     def __init__(self, config: Config, g_params, batch_size: int = 0,
                  max_request_samples: int = 8192,
-                 max_domain_output_bytes: int = 1 << 30):
+                 max_domain_output_bytes: int = 1 << 30,
+                 mesh=None):
         from downgan_tpu.training.state import make_models
 
         self.config = config
         self.batch = batch_size or config.chunk_size
         gen, _ = make_models(config)
         self._fwd = jax.jit(gen.apply)
+        # Multi-chip domain inference: tiles shard over the mesh's data
+        # axis (parallel.spatial.tiled_sr_inference(mesh=...)). The
+        # fixed-batch patch path stays single-program — its batches are
+        # latency-sized, and GSPMD would add a gather per dispatch.
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            g_params = jax.device_put(
+                g_params, NamedSharding(mesh, PartitionSpec()))
         self._params = g_params
         self._lock = threading.Lock()
         # Observability counters (GET /metrics): requests/samples served,
@@ -154,10 +165,16 @@ class SRModel:
             out = tiled_sr_inference(
                 self.config, self._params, np.asarray(coarse, np.float32),
                 tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
-                tiles_per_dispatch=tiles_per_dispatch,
+                tiles_per_dispatch=tiles_per_dispatch, mesh=self._mesh,
             )
+            # The tiler rounds tiles_per_dispatch up to the mesh size, so
+            # the dispatch count must use the effective fold.
+            k_eff = max(1, tiles_per_dispatch)
+            if self._mesh is not None:
+                n_dev = self._mesh.devices.size
+                k_eff = -(-k_eff // n_dev) * n_dev
             self.dispatch_count += count_tiled_dispatches(
-                b, h, w, tile_rows, tile_cols, tiles_per_dispatch)
+                b, h, w, tile_rows, tile_cols, k_eff)
         self._record(coarse.shape[0], time.perf_counter() - t0)
         return out
 
@@ -199,9 +216,10 @@ class BatchingSRModel(SRModel):
     """
 
     def __init__(self, config: Config, g_params, batch_size: int = 0,
-                 max_request_samples: int = 8192, max_wait_ms: float = 5.0):
+                 max_request_samples: int = 8192, max_wait_ms: float = 5.0,
+                 mesh=None):
         super().__init__(config, g_params, batch_size=batch_size,
-                         max_request_samples=max_request_samples)
+                         max_request_samples=max_request_samples, mesh=mesh)
         self.max_wait_ms = max_wait_ms
         self.dispatch_count = 0  # device dispatches (observability/tests)
         self._queue: "list[tuple[np.ndarray, list, threading.Event]]" = []

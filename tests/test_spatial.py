@@ -163,3 +163,24 @@ def test_spatial_train_step_matches_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
     for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_tiled_sr_inference_dp_mesh_bit_identical():
+    """Multi-chip tiled inference: tiles sharded over a DP mesh are
+    bit-identical to the single-device tiler, for row bands and 2-D tiles,
+    including ragged dispatch tails (tiles_per_dispatch not a multiple of
+    the mesh size — rounded up internally)."""
+    config = Config(coarse_size=16, fine_size=128, filters=8, num_res_blocks=1,
+                    hp=HyperParams(batch_size=2))
+    gen, _ = make_models(config)
+    coarse = np.random.default_rng(1).standard_normal((2, 48, 40, 7)).astype(np.float32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.asarray(coarse[:, :16, :16]))
+    mesh = make_mesh()  # all (8 virtual) devices on the data axis
+
+    for kwargs in (
+        dict(tile_rows=16, overlap=8),
+        dict(tile_rows=16, overlap=8, tile_cols=16, tiles_per_dispatch=3),
+    ):
+        want = tiled_sr_inference(config, params, coarse, **kwargs)
+        got = tiled_sr_inference(config, params, coarse, mesh=mesh, **kwargs)
+        np.testing.assert_array_equal(got, want), kwargs
