@@ -134,6 +134,13 @@ def main() -> None:
             process_id=None if pid is None else int(pid),
         )
     if os.environ.get("BENCH_MODE", "train") == "infer":
+        if multihost:
+            # The infer bench times the local default-device forward; per
+            # process it would print N wrong global-looking lines. Keep it
+            # a single-host measurement.
+            raise SystemExit(
+                "BENCH_MODE=infer is a single-host benchmark; "
+                "run it without BENCH_MULTIHOST=1")
         infer_main()
         return
     from downgan_tpu.runtime import setup_cache

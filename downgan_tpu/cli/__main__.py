@@ -178,6 +178,18 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
 
     import jax
 
+    if multihost and jax.process_count() == 1 and num_processes != 1:
+        # Auto-detection can fail silently (initialize swallows the
+        # ValueError when no explicit args were given). Without this
+        # guard every host in the job would then train independently as
+        # process 0 and race on the shared --checkpoint-dir. A true
+        # single-process run is still available via --num-processes 1.
+        raise click.UsageError(
+            "--multihost was requested but jax.distributed did not "
+            "initialize a multi-process job (process_count is 1). Pass "
+            "--coordinator/--num-processes/--process-id explicitly, or "
+            "--num-processes 1 to force a single-process run.")
+
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.data.staging import load_preprocessed, stage_datasets
     from downgan_tpu.tracking import TrackingStore, define_experiment, log_hyperparams, write_tags
@@ -398,9 +410,16 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         if len(jax.devices()) > 1:
             # Multi-chip host: shard the tiles data-parallel over all
             # devices (bit-identical to single-device, tested).
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from downgan_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
+            # Replicate params once up front; otherwise every one of the
+            # ceil(n_tiles / tiles_per_dispatch) dispatches re-transfers
+            # the whole param tree onto the mesh.
+            g_params = jax.device_put(
+                g_params, NamedSharding(mesh, PartitionSpec()))
         fields = tiled_sr_inference(config, g_params, coarse,
                                     tile_rows=tile_rows, overlap=overlap,
                                     tile_cols=tile_cols,
@@ -731,6 +750,92 @@ def prepare_covariates(config_path, region, which_set) -> None:
 def show_config(config_path) -> None:
     """Print the resolved configuration as JSON."""
     click.echo(_load_config(config_path, None).to_json())
+
+
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--region", type=click.Choice(list(REGIONS)), default=None)
+@click.option("--batch-size", type=int, default=None)
+@click.option("--compute-dtype", type=click.Choice(["float32", "bfloat16"]), default=None)
+@click.option("--steps", type=int, default=10, help="Profiled steps (after a warm-up compile+step outside the trace).")
+@click.option("--mode", type=click.Choice(["train", "infer"]), default="train",
+              help="Profile the full WGAN-GP train step or the generator forward.")
+@click.option("--out", type=click.Path(), default="profiles",
+              help="Trace directory; view with `tensorboard --logdir <out>`.")
+@click.option("--anomaly", is_flag=True,
+              help="Scoped jax_debug_nans over the profiled window (the "
+              "reference's always-on torch anomaly hook, wasserstein.py:13, "
+              "made opt-in and scoped).")
+def profile(config_path, region, batch_size, compute_dtype, steps, mode,
+            out, anomaly) -> None:
+    """Write a TensorBoard/XPlane device profile of the hot loop.
+
+    Runs ``--steps`` jitted steps on synthetic data under a
+    ``jax.profiler`` trace (compile + one warm-up step happen OUTSIDE the
+    trace so the profile shows steady state), then prints wall steps/s and
+    per-device HBM stats. SURVEY §5 "tracing/profiling" — the reference
+    has no profiler integration at all."""
+    import contextlib
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from downgan_tpu.training.state import create_state, make_models
+    from downgan_tpu.utils import profiling
+
+    config = _load_config(config_path, region, batch_size=batch_size,
+                          compute_dtype=compute_dtype)
+    gen, critic = make_models(config)
+    rng_np = np.random.default_rng(0)
+    bs = config.hp.batch_size
+    coarse = jnp.asarray(rng_np.standard_normal(
+        (bs, config.coarse_size, config.coarse_size, config.n_covariates)
+    ).astype(np.float32))
+
+    if mode == "infer":
+        params = gen.init(jax.random.PRNGKey(0), coarse[:1])
+        fwd = jax.jit(gen.apply)
+        run_once = lambda: fwd(params, coarse)
+        sync = lambda r: jax.device_get(r[0, 0, 0, 0])
+    else:
+        from downgan_tpu.training.wgan import build_train_step
+
+        fine = jnp.asarray(rng_np.standard_normal(
+            (bs, config.fine_size, config.fine_size, config.n_predictands)
+        ).astype(np.float32))
+        state = create_state(config, jax.random.PRNGKey(0))
+        step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+        rng = jax.random.PRNGKey(1)
+
+        def run_once():
+            nonlocal state
+            state, metrics = step(state, coarse, fine, rng)
+            return metrics
+
+        sync = lambda r: jax.device_get(r["critic_loss"])
+
+    click.echo("compiling + warm-up step ...")
+    sync(run_once())
+
+    guard = profiling.detect_anomalies() if anomaly else contextlib.nullcontext()
+    t0 = time.perf_counter()
+    with profiling.trace(out), guard:
+        with profiling.annotate(f"profiled_{mode}_window"):
+            for _ in range(steps):
+                r = run_once()
+            sync(r)  # one scalar fetch; block_until_ready lies on the tunnel
+    dt = time.perf_counter() - t0
+    click.echo(json.dumps({
+        "mode": mode, "steps": steps, "batch": bs,
+        "steps_per_s": round(steps / dt, 2),
+        "patches_per_s": round(steps * bs / dt, 1),
+        "trace_dir": out,
+        "hbm": profiling.device_memory_stats(),
+    }))
+    click.echo(f"view: tensorboard --logdir {out}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,12 @@ class DeviceDataset:
 
     coarse: jax.Array  # (N, h, w, n_covariates)
     fine: jax.Array  # (N, H, W, n_predictands)
+    # Host-side copies, kept when the set was staged FROM numpy (always
+    # the case for multihost global arrays). Eval-tail/plot gathers on a
+    # replicated global array must index on host — without these they
+    # would re-fetch the whole set device-to-host every time.
+    host_coarse: Optional[np.ndarray] = None
+    host_fine: Optional[np.ndarray] = None
 
     def __post_init__(self) -> None:
         assert self.coarse.shape[0] == self.fine.shape[0]
@@ -87,11 +93,14 @@ class DeviceDataset:
 
         sharding = NamedSharding(mesh, PartitionSpec())
 
+        coarse = np.asarray(coarse, dtype=dtype)
+        fine = np.asarray(fine, dtype=dtype)
+
         def put(a: np.ndarray) -> jax.Array:
-            a = np.asarray(a, dtype=dtype)
             return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
 
-        return DeviceDataset(put(coarse), put(fine))
+        return DeviceDataset(put(coarse), put(fine),
+                             host_coarse=coarse, host_fine=fine)
 
 
 def _correlated_field(

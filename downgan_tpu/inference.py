@@ -117,6 +117,12 @@ def restore_generator_params(
         jnp.zeros((1, config.coarse_size, config.coarse_size, config.n_covariates)),
     )
     if weights_only:
+        if step is not None:
+            raise ValueError(
+                "weights-only checkpoints (and exported bundles) hold a "
+                "single set of params — an epoch/step cannot be selected. "
+                "Use the full Trainer checkpoint directory to restore a "
+                "specific epoch.")
         return load_params(checkpoint_dir, template)
     from downgan_tpu.training.state import create_state
 

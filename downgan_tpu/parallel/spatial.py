@@ -160,18 +160,29 @@ def _tiled_fwd_crop(config: Config, keep_h: int, keep_w: int,
     return fn
 
 
+def effective_fold(tiles_per_dispatch: int, mesh_size: int = 1) -> int:
+    """Tiles actually folded per dispatch: on a mesh, the tiler rounds the
+    fold up to a multiple of the mesh size so one compiled sharded program
+    (static shapes) serves every dispatch. Single source of truth for
+    :func:`tiled_sr_inference` and :func:`count_tiled_dispatches`."""
+    k = max(1, tiles_per_dispatch)
+    if mesh_size > 1:
+        k = -(-k // mesh_size) * mesh_size
+    return k
+
+
 def count_tiled_dispatches(
     b: int, h: int, w: int, tile_rows: int, tile_cols: int = 0,
-    tiles_per_dispatch: int = 8,
+    tiles_per_dispatch: int = 8, mesh_size: int = 1,
 ) -> int:
     """Device dispatches :func:`tiled_sr_inference` issues for a (b, h, w)
     domain: total tiles (including the ragged edge tiles) folded
-    ``tiles_per_dispatch`` at a time. Used by the serving layer so
+    :func:`effective_fold` at a time. Used by the serving layer so
     ``/metrics`` reports real device dispatches for domain traffic."""
     n_rows = -(-h // tile_rows)
     n_cols = -(-w // tile_cols) if tile_cols else 1
     n_tiles = b * n_rows * n_cols
-    return -(-n_tiles // max(1, tiles_per_dispatch))
+    return -(-n_tiles // effective_fold(tiles_per_dispatch, mesh_size))
 
 
 def tiled_sr_inference(
@@ -252,12 +263,8 @@ def tiled_sr_inference(
                 places.append((bi, rs, r_lo, cs, c_lo))
 
     out = np.zeros((b, h * sf, w * sf, config.n_predictands), np.float32)
-    k = max(1, tiles_per_dispatch)
-    if mesh is not None:
-        # Static shapes: every dispatch pads to a multiple of the mesh
-        # size so one compiled sharded program serves all of them.
-        n_dev = mesh.devices.size
-        k = -(-k // n_dev) * n_dev
+    k = effective_fold(tiles_per_dispatch,
+                       mesh.devices.size if mesh is not None else 1)
     for start in range(0, len(places), k):
         sel = places[start : start + k]
         chunk = np.stack(

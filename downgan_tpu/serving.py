@@ -167,14 +167,10 @@ class SRModel:
                 tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
                 tiles_per_dispatch=tiles_per_dispatch, mesh=self._mesh,
             )
-            # The tiler rounds tiles_per_dispatch up to the mesh size, so
-            # the dispatch count must use the effective fold.
-            k_eff = max(1, tiles_per_dispatch)
-            if self._mesh is not None:
-                n_dev = self._mesh.devices.size
-                k_eff = -(-k_eff // n_dev) * n_dev
             self.dispatch_count += count_tiled_dispatches(
-                b, h, w, tile_rows, tile_cols, k_eff)
+                b, h, w, tile_rows, tile_cols, tiles_per_dispatch,
+                mesh_size=(self._mesh.devices.size
+                           if self._mesh is not None else 1))
         self._record(coarse.shape[0], time.perf_counter() - t0)
         return out
 

@@ -223,14 +223,24 @@ class Trainer:
         HostDataset (only the batch moves to device, via the jitted
         consumer), on-device gather for DeviceDataset. In multihost mode a
         DeviceDataset is a replicated GLOBAL array — eager ops on it are
-        not process-local, so fetch the (fully-replicated) value and index
-        on host; the jitted consumers treat the numpy batch as replicated.
+        not process-local, so index the host copy retained at staging
+        (``host_coarse``/``host_fine``); the jitted consumers treat the
+        numpy batch as replicated.
         """
         sel = np.asarray(idx)
         if isinstance(ds, HostDataset):
             return ds.coarse[sel], ds.fine[sel]
         if self.multihost:
-            return np.asarray(ds.coarse)[sel], np.asarray(ds.fine)[sel]
+            if ds.host_coarse is not None:
+                return ds.host_coarse[sel], ds.host_fine[sel]
+            # Fallback for a caller-built global dataset without host
+            # copies: one full fetch, cached — never per-gather.
+            if not hasattr(ds, "_host_cache"):
+                object.__setattr__(
+                    ds, "_host_cache",
+                    (np.asarray(ds.coarse), np.asarray(ds.fine)))
+            hc, hf = ds._host_cache
+            return hc[sel], hf[sel]
         s = jnp.asarray(sel)
         return jnp.take(ds.coarse, s, axis=0), jnp.take(ds.fine, s, axis=0)
 

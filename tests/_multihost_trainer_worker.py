@@ -97,6 +97,36 @@ def main() -> None:
         if run is not None:
             out[f"{mode}_artifact_dir"] = run.artifact_dir
 
+    # Elastic-recovery leg: a pod job that dies after epoch 0 and restarts
+    # from the shared collective checkpoint must reproduce the fused
+    # 2-epoch trajectory bit-exactly (permutations are (seed, epoch)-keyed,
+    # so resume is on-trajectory; restore is collective — every process
+    # calls it against its own addressable shards).
+    config = Config(
+        coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+        hp=HyperParams(batch_size=8, fused_epoch=True,
+                       metrics_to_calculate=("MAE", "MSE", "Wass")),
+    )
+    train_ds = DeviceDataset.from_numpy_global(mesh, coarse[:16], fine[:16])
+    test_ds = DeviceDataset.from_numpy_global(mesh, coarse[16:], fine[16:])
+    ckpt_dir = os.path.join(workdir, "ckpt_resume")
+    ckpt = CheckpointManager(ckpt_dir)
+    t1 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt,
+                 mesh=mesh, save_every=1, verbose=False)
+    t1.train(epochs=1)
+    ckpt.wait()
+    ckpt.close()
+    ckpt2 = CheckpointManager(ckpt_dir)
+    t2 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt2,
+                 mesh=mesh, save_every=1, verbose=False)
+    assert t2.maybe_resume(), "collective restore must find the checkpoint"
+    t2.train(epochs=2)  # continues at epoch 1
+    ckpt2.wait()
+    ckpt2.close()
+    out["resume_step"] = int(jax.device_get(t2.state.step))
+    out["resume_g_abs_sum"] = fingerprint(t2.state.g_params)
+    out["resume_c_abs_sum"] = fingerprint(t2.state.c_params)
+
     with open(os.path.join(workdir, f"proc{proc_id}.json"), "w") as f:
         json.dump(out, f)
 

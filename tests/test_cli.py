@@ -25,6 +25,30 @@ def tiny_config_file(tmp_path):
     return str(path)
 
 
+def test_profile_cli(tmp_path, tiny_config_file):
+    """`downgan profile` writes a real XPlane trace and prints throughput
+    + HBM stats (both modes; train exercises the full jitted step)."""
+    out = str(tmp_path / "prof")
+    result = CliRunner().invoke(
+        cli,
+        ["profile", "--config", tiny_config_file, "--steps", "2",
+         "--mode", "infer", "--out", out],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "steps_per_s" in result.output
+    assert glob.glob(os.path.join(out, "**", "*.xplane.pb"), recursive=True)
+
+    result = CliRunner().invoke(
+        cli,
+        ["profile", "--config", tiny_config_file, "--steps", "1",
+         "--mode", "train", "--out", str(tmp_path / "prof_train")],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "patches_per_s" in result.output
+
+
 def test_show_config_roundtrip(tiny_config_file):
     result = CliRunner().invoke(cli, ["show-config", "--config", tiny_config_file])
     assert result.exit_code == 0, result.output
@@ -432,6 +456,34 @@ def test_generate_any_retained_epoch_and_ema(tmp_path):
     )
     assert result.exit_code != 0
     assert "full-train-state" in result.output
+    # --epoch on a weights-only restore is an error, not a silent fall
+    # back to the single baked set of weights
+    result = runner.invoke(
+        cli,
+        ["generate", "--config", str(cfg_path), "--checkpoint", ckpt_dir,
+         "--weights-only", "--epoch", "0", "--synthetic", "--out",
+         str(tmp_path / "y.nc")],
+    )
+    assert result.exit_code != 0
+    assert isinstance(result.exception, ValueError)
+    assert "single set of params" in str(result.exception)
+
+
+def test_train_multihost_requires_real_distributed_init(tmp_path, tiny_config_file):
+    """--multihost with failed auto-detection must fail loudly: otherwise
+    every host in a pod job would silently train independently as process
+    0 and race on the shared checkpoint dir."""
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+
+    result = CliRunner().invoke(
+        cli,
+        ["train", "--config", tiny_config_file, "--synthetic", "--epochs", "1",
+         "--multihost", "--checkpoint-dir", str(tmp_path / "ckpt")],
+    )
+    assert result.exit_code != 0
+    assert "process_count is 1" in result.output
 
 
 def test_train_host_feed_cli(tmp_path, tiny_config_file):

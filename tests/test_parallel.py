@@ -126,6 +126,21 @@ def test_device_dataset_sharded_residency():
     np.testing.assert_allclose(np.asarray(f), np.asarray(c) * 2.0)
 
 
+def test_global_dataset_retains_host_copies():
+    """from_numpy_global keeps the staged numpy arrays so multihost eval/
+    plot gathers index on host instead of re-fetching the whole replicated
+    set device-to-host on every call."""
+    from downgan_tpu.data.dataset import DeviceDataset
+
+    mesh = make_mesh()
+    coarse = np.random.default_rng(1).standard_normal((8, 4, 4, 3)).astype(np.float32)
+    fine = coarse + 1.0
+    ds = DeviceDataset.from_numpy_global(mesh, coarse, fine)
+    assert ds.host_coarse is not None and ds.host_fine is not None
+    np.testing.assert_array_equal(ds.host_coarse, coarse)
+    np.testing.assert_array_equal(np.asarray(ds.fine), fine)
+
+
 def test_multihost_helpers_single_host():
     from downgan_tpu.parallel.multihost import (
         global_mesh,
@@ -324,6 +339,13 @@ def test_two_process_full_trainer(tmp_path):
         assert r0[f"{mode}_step"] == r1[f"{mode}_step"] == 4  # 2 epochs x 2 steps
         assert r0[f"{mode}_g_abs_sum"] == r1[f"{mode}_g_abs_sum"], mode
         assert r0[f"{mode}_c_abs_sum"] == r1[f"{mode}_c_abs_sum"], mode
+
+    # elastic recovery: kill-after-epoch-0 + collective restart must land
+    # exactly on the uninterrupted fused 2-epoch trajectory
+    assert r0["resume_step"] == r1["resume_step"] == 4
+    assert r0["resume_g_abs_sum"] == r0["fused_g_abs_sum"]
+    assert r0["resume_c_abs_sum"] == r0["fused_c_abs_sum"]
+    assert r1["resume_g_abs_sum"] == r1["fused_g_abs_sum"]
 
     # single-process baseline on the same global mesh size (4 devices)
     coarse, fine = synthetic_dataset(n_samples=26, coarse_size=8,

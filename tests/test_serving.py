@@ -295,6 +295,11 @@ def test_domain_dispatch_count_matches_instrumented(monkeypatch):
     # ragged tails round up: 25 rows -> 4 bands; 2-D tiling multiplies cols
     assert spatial.count_tiled_dispatches(1, 25, 16, 8, 8, 8) == 1
     assert spatial.count_tiled_dispatches(4, 24, 24, 8, 8, 8) == 5  # 36 tiles
+    # on a mesh the fold rounds up to the mesh size (single source of
+    # truth with the tiler: effective_fold)
+    assert spatial.effective_fold(3, mesh_size=8) == 8
+    assert spatial.effective_fold(9, mesh_size=8) == 16
+    assert spatial.count_tiled_dispatches(2, 24, 16, 8, 0, 3, mesh_size=8) == 1
 
 
 def test_domain_output_cap_rejected(served):
