@@ -1,286 +1,16 @@
 """Headline benchmark: WGAN-GP training throughput (patches/sec/chip).
 
-Measures the complete per-batch work of the reference hot loop
-(``DoWnGAN/GAN/wasserstein.py:120-148`` + the per-batch metric pass,
-``mlflow_tools/mlflow_epoch.py:53-63``) in the production configuration:
-the train step scanned on device (``lax.scan`` over K steps — one XLA
-program, zero per-step host dispatch), florida workload shapes
-(64x16x16x7 coarse -> 64x128x128x2 fine, G 1.70M / C 1.11M params),
-critic update with nested-grad gradient penalty, scheduled generator
-update, MAE/MSE/MSSSIM/Wass metric pass per step.
-
-Default configuration is the measured single-chip production point
-(batch 128, bfloat16 — the measured throughput knee in both rounds 2 and
-3, convergence-receipted in PERF.md); the reference-parity workload
-(batch 64, fp32) stays one env var away.
-
-The reference publishes no numbers (BASELINE.md); ``vs_baseline``
-compares patches/sec/chip against a DERIVED as-shipped A100 reference of
-640 patches/s (10 steps/s x batch 64) — 10 being the center of the
-6-25 steps/s range bracketed by three independent anchors
-(dispatch-granularity floor from the measured 2,605 kernel
-launches/step, achieved-rate scaling of the measured 320.6 GFLOP/step,
-and the as-shipped anomaly-mode sync costs), each anchored by timing the
-actual reference torch step on CPU. ``vs_tuned_a100`` divides by the
-stronger 2,600 patches/s tuned-eager-A100 upper bound. Full derivation +
-reproduction script: BASELINE.md "Derived A100 reference throughput" /
-benchmarks/reference_cpu_step.py.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Env knobs: BENCH_BATCH (128), BENCH_SCAN_STEPS (30), BENCH_REPS (5),
-BENCH_DTYPE (bfloat16; set float32 + BENCH_BATCH=64 for the
-reference-parity workload), BENCH_METRICS (1), BENCH_MODE (train|infer —
-infer measures generator-forward SR throughput in patches/sec), and the
-fast-path toggles BENCH_REMAT / BENCH_FUSED_CRITIC / BENCH_REUSE_FAKE
-(all 0 = reference-parity semantics).
-
-Multi-chip ready: the scanned step is jitted over a mesh of ALL devices
-(DP batch sharding) — on a v5e-8 host the same command measures 8-chip
-throughput, reporting per-chip `value` plus `aggregate_patches_per_sec`.
-On a pod, run the same command on every host with BENCH_MULTIHOST=1
-(initializes jax.distributed from the TPU environment, builds the GLOBAL
-mesh; only process 0 prints). Smoke/validation knobs: BENCH_FORCE_CPU=1
-runs on the host CPU backend (pair with
-XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual mesh),
-BENCH_SMOKE=1 shrinks the model/batch so the harness itself is testable
-off-TPU (tests/test_bench.py).
+Entry-point shim: the harness lives in ``downgan_tpu/bench.py`` (module
+docstring there documents the methodology and every BENCH_* env knob) so
+the `downgan tune` CLI can sweep candidate production points through the
+same code. Prints ONE JSON line.
 """
-from __future__ import annotations
-
-import json
 import os
-import time
+import sys
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Derived, not assumed: 10 steps/s x batch 64 — center of the 6-25
-# steps/s as-shipped A100 range bracketed in BASELINE.md "Derived A100
-# reference throughput" (measured CPU anchor:
-# benchmarks/reference_cpu_step.py). The tuned bound is the top of the
-# anomaly-off eager-A100 window derived there.
-A100_REFERENCE_PATCHES_PER_SEC = 640.0
-A100_TUNED_PATCHES_PER_SEC = 2600.0
-# Eager-A100 inference window for the same generator (BASELINE.md method:
-# G fwd = 132.5 GFLOP at b128, ~500 kernel launches, 2-8 TF/s effective on
-# the cout=16 op mix -> 1.9k-7.7k patches/s); 4,000 is the center.
-A100_INFER_PATCHES_PER_SEC = 4000.0
-
-
-def infer_main() -> None:
-    """Generator-forward (SISR inference) throughput, one chip."""
-    from downgan_tpu.runtime import setup_cache
-
-    setup_cache()
-    from downgan_tpu.config.config import Config, HyperParams
-    from downgan_tpu.training.state import create_state, make_models
-
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "50"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
-
-    config = Config(hp=HyperParams(batch_size=batch, compute_dtype=dtype))
-    gen, _ = make_models(config)
-    state = create_state(config, jax.random.PRNGKey(0))
-    coarse = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 16, 16, 7)), jnp.float32
-    )
-
-    def run(x):
-        def body(c, _):
-            out = gen.apply(state.g_params, x + c * 1e-30)
-            return jnp.sum(out) * 1e-30, None
-        acc, _ = lax.scan(body, jnp.zeros(()), None, length=scan_steps)
-        return acc
-
-    r = jax.jit(run)
-    float(r(coarse))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(r(coarse))
-        times.append(time.perf_counter() - t0)
-    median = sorted(times)[len(times) // 2]
-    pps = scan_steps * batch / median
-    print(json.dumps({
-        "metric": f"sr_inference_patches_per_sec_b{batch}",
-        "value": round(pps, 1),
-        "unit": "patches/sec",
-        "vs_baseline": round(pps / A100_INFER_PATCHES_PER_SEC, 3),
-        "n_chips": len(jax.devices()),
-        "dtype": dtype,
-    }))
-
-
-def main() -> None:
-    if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
-        # The axon TPU plugin wins over JAX_PLATFORMS env; an explicit
-        # config update before backend init is the reliable override.
-        jax.config.update("jax_platforms", "cpu")
-    multihost = os.environ.get("BENCH_MULTIHOST", "0") == "1"
-    if multihost:
-        from downgan_tpu.parallel.multihost import initialize
-
-        # Explicit coordinator knobs for off-TPU validation; on a Cloud
-        # TPU pod leave them unset (auto-detected from the environment).
-        npr = os.environ.get("BENCH_NUM_PROCESSES")
-        pid = os.environ.get("BENCH_PROCESS_ID")
-        initialize(
-            coordinator_address=os.environ.get("BENCH_COORDINATOR"),
-            num_processes=None if npr is None else int(npr),
-            process_id=None if pid is None else int(pid),
-        )
-    if os.environ.get("BENCH_MODE", "train") == "infer":
-        if multihost:
-            # The infer bench times the local default-device forward; per
-            # process it would print N wrong global-looking lines. Keep it
-            # a single-host measurement.
-            raise SystemExit(
-                "BENCH_MODE=infer is a single-host benchmark; "
-                "run it without BENCH_MULTIHOST=1")
-        infer_main()
-        return
-    from downgan_tpu.runtime import setup_cache
-
-    setup_cache()
-    from downgan_tpu.config.config import Config, HyperParams
-    from downgan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
-    from downgan_tpu.training.state import create_state, make_models
-    from downgan_tpu.training.wgan import build_train_step
-
-    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "8" if smoke else "128"))
-    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "2" if smoke else "30"))
-    reps = int(os.environ.get("BENCH_REPS", "1" if smoke else "5"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32" if smoke else "bfloat16")
-    with_metrics = os.environ.get("BENCH_METRICS", "1") == "1"
-
-    model_kw = {}
-    if smoke:
-        # Harness-validation config: tiny net + metrics that work at any
-        # field size (MS-SSIM needs >=128 px), so the FULL mesh/jit/timing
-        # path runs in seconds on a virtual CPU mesh.
-        model_kw = dict(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1)
-    config = Config(**model_kw, hp=HyperParams(
-        batch_size=batch,
-        compute_dtype=dtype,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        fused_critic_pass=os.environ.get("BENCH_FUSED_CRITIC", "0") == "1",
-        metrics_reuse_fake=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
-        **({"metrics_to_calculate": ("MAE", "MSE", "Wass")} if smoke else {}),
-    ))
-    if multihost:
-        from downgan_tpu.parallel.multihost import global_mesh
-
-        mesh = global_mesh()
-    else:
-        mesh = make_mesh()
-    gen, critic = make_models(config)
-    # Initialize ON the mesh (multihost-safe: a host-local state cannot be
-    # device_put onto another process's devices).
-    state = jax.jit(
-        lambda: create_state(config, jax.random.PRNGKey(0)),
-        out_shardings=replicated(mesh),
-    )()
-
-    rng_np = np.random.default_rng(0)
-    cs, fs = config.coarse_size, config.fine_size
-    n_cov, n_pred = config.n_covariates, config.n_predictands
-    coarse = rng_np.standard_normal((batch, cs, cs, n_cov)).astype(np.float32)
-    fine = rng_np.standard_normal((batch, fs, fs, n_pred)).astype(np.float32)
-    if multihost:
-        # Per-host assembly: each process feeds only its rows of the
-        # global batch (a device_put cannot target another host's devices).
-        from downgan_tpu.parallel.multihost import (
-            make_global_batch,
-            process_batch_slice,
-        )
-
-        lo, hi = process_batch_slice(batch)
-        coarse = make_global_batch(mesh, coarse[lo:hi])
-        fine = make_global_batch(mesh, fine[lo:hi])
-        rng = np.asarray(jax.random.PRNGKey(1))  # uncommitted -> replicated
-    else:
-        coarse, fine = shard_batch(mesh, coarse, fine)
-        rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
-
-    step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
-
-    def run_steps(state, coarse, fine, rng):
-        def body(carry, _):
-            new_state, metrics = step_fn(carry, coarse, fine, rng)
-            return new_state, metrics
-
-        state, stacked = lax.scan(body, state, None, length=scan_steps)
-        return state, jax.tree.map(jnp.mean, stacked)
-
-    rep = replicated(mesh)
-    bat = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec("data", None, None, None)
-    )
-    run = jax.jit(
-        run_steps, in_shardings=(rep, bat, bat, rep), out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
-
-    if multihost:
-        # AOT-compile, then rendezvous through the coordination service
-        # (long gRPC timeout) BEFORE the first collective execution:
-        # per-process compile times skew (badly on shared CPUs), and the
-        # backend's collective-context setup at first execution has a
-        # short rendezvous window (Gloo KV: 30 s) that the skew overruns.
-        run = run.lower(state, coarse, fine, rng).compile()
-        from jax._src import distributed as _dist
-
-        _dist.global_state.client.wait_at_barrier(
-            "bench_compiled", timeout_in_ms=1_800_000)
-
-    # NOTE: sync by fetching a scalar output, NOT block_until_ready — the
-    # axon tunnel's block_until_ready can return before execution finishes
-    # (observed experimentally), which silently times enqueue instead of
-    # compute. A host fetch of an output buffer is a true barrier.
-    state, _ = run(state, coarse, fine, rng)  # compile + warmup
-    int(state.step)
-
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        state, metrics = run(state, coarse, fine, rng)
-        int(state.step)  # true device sync
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    median = sorted(times)[len(times) // 2]
-    steps_per_sec = scan_steps / median
-    n_chips = len(jax.devices())
-    pps = steps_per_sec * batch / n_chips
-    if jax.process_index() == 0:
-        print(
-            json.dumps(
-                {
-                    "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
-                    + ("" if with_metrics else "_nometrics")
-                    + ("_reusefake" if config.hp.metrics_reuse_fake else "")
-                    + ("_fusedcritic" if config.hp.fused_critic_pass else "")
-                    + ("_remat" if config.hp.remat else "")
-                    + ("_smoke" if smoke else ""),
-                    "value": round(pps, 1),
-                    "unit": "patches/sec/chip",
-                    "vs_baseline": round(pps / A100_REFERENCE_PATCHES_PER_SEC, 3),
-                    "vs_tuned_a100": round(pps / A100_TUNED_PATCHES_PER_SEC, 3),
-                    "steps_per_sec": round(steps_per_sec, 3),
-                    "best_steps_per_sec": round(scan_steps / best, 3),
-                    "n_chips": n_chips,
-                    "n_processes": jax.process_count(),
-                    "aggregate_patches_per_sec": round(pps * n_chips, 1),
-                    "dtype": dtype,
-                }
-            )
-        )
-
+from downgan_tpu.bench import main  # noqa: E402
 
 if __name__ == "__main__":
     main()

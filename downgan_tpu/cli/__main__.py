@@ -138,6 +138,13 @@ def cli() -> None:
               "Implies the per-step loop (hp.fused_epoch=False, "
               "schedule='reference'); the trajectory matches device-resident "
               "training bit-for-bit.")
+@click.option("--stream", is_flag=True,
+              help="Leave the dataset ON DISK and stream batches lazily "
+              "from the preprocessed NetCDFs (for sets too big for host "
+              "RAM; run `prepare-data` first). Implies the per-step loop "
+              "like --host-feed; in a pod each host reads only its own "
+              "batch rows. Trajectory matches device-resident training "
+              "bit-for-bit.")
 @click.option("--save-every", type=int, default=None,
               help="Checkpoint cadence in epochs (default: hp.save_every).")
 @click.option("--max-checkpoints", type=int, default=None,
@@ -160,7 +167,7 @@ def cli() -> None:
 def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
           synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
           resume, interactive, mesh, multihost, coordinator, num_processes,
-          process_id, host_feed, save_every, max_checkpoints,
+          process_id, host_feed, stream, save_every, max_checkpoints,
           keep_every, print_every, plot_every, eof_lambda, tensorboard) -> None:
     """Train the WGAN-GP super-resolution model."""
     import dataclasses
@@ -202,7 +209,16 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
         compute_dtype=compute_dtype, schedule=schedule, eof_lambda=eof_lambda,
     )
-    if host_feed:
+    if host_feed and stream:
+        raise click.UsageError(
+            "--host-feed and --stream are different residency tiers "
+            "(host RAM vs disk); pick one")
+    if stream and synthetic:
+        raise click.UsageError(
+            "--stream reads the preprocessed NetCDF layout; --synthetic "
+            "has no files to stream (run `prepare-data` on real data, or "
+            "use --host-feed to exercise the streaming loop in RAM)")
+    if host_feed or stream:
         if config.hp.fused_epoch or config.hp.schedule == "fused":
             click.echo("host feed: using the per-step loop "
                        "(hp.fused_epoch=False, schedule='reference')")
@@ -237,6 +253,11 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         split = int(0.9 * samples)
         train_ds = _to_dataset(coarse[:split], fine[:split])
         test_ds = _to_dataset(coarse[split:], fine[split:])
+    elif stream:
+        from downgan_tpu.data.stream import StreamDataset
+
+        train_ds = StreamDataset.from_preprocessed(config, "train")
+        test_ds = StreamDataset.from_preprocessed(config, "test")
     elif host_feed or multihost:
         from downgan_tpu.data.staging import generate_train_test_coarse_fine
 
@@ -290,6 +311,9 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
         raise
     finally:
         ckpt.close()
+        if stream:
+            train_ds.close()
+            test_ds.close()
     if run is not None:
         click.echo(f"run {run.run_id} finished; artifacts in {run.artifact_dir}")
 
@@ -836,6 +860,126 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
         "hbm": profiling.device_memory_stats(),
     }))
     click.echo(f"view: tensorboard --logdir {out}")
+
+
+@cli.command()
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None,
+              help="Base config the recommendation is merged into.")
+@click.option("--batches", default="64,128,256",
+              help="Comma-separated candidate batch sizes.")
+@click.option("--dtypes", default="bfloat16",
+              help="Comma-separated candidate compute dtypes.")
+@click.option("--fast-paths/--no-fast-paths", default=True,
+              help="After the (batch, dtype) sweep, also measure the "
+              "metrics_reuse_fake and fused_critic_pass fast paths at the "
+              "winning point (PERF.md: regime-dependent — reuse_fake +10-20% "
+              "when compute-bound, fused_critic +9% when latency-bound).")
+@click.option("--scan-steps", type=int, default=30)
+@click.option("--reps", type=int, default=3)
+@click.option("--timeout", "timeout_s", type=int, default=1500,
+              help="Per-candidate wall timeout. A candidate whose HLO is "
+              "not in the persistent compile cache can take ~10 min to "
+              "compile on small hosts before any measurement happens.")
+@click.option("--out", type=click.Path(), default=None,
+              help="Write the recommended production config JSON here.")
+@click.option("--smoke", is_flag=True,
+              help="Harness check on the CPU backend (tiny model/shapes).")
+def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
+         timeout_s, out, smoke) -> None:
+    """Find the production throughput point on THIS hardware.
+
+    Sweeps candidate (batch, dtype) configurations through the benchmark
+    harness (``downgan_tpu/bench.py`` — the exact code behind the
+    headline number), one subprocess per candidate so each compiled
+    variant measures in a clean process (the PERF.md measurement rule),
+    then recommends the best and optionally writes it as a production
+    config. Automates the by-hand knee search of PERF.md round 2; no
+    reference equivalent (the reference has no benchmark at all,
+    SURVEY §6).
+    """
+    import dataclasses
+    import subprocess
+    import sys
+
+    import downgan_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(downgan_tpu.__file__)))
+    base = _load_config(config_path, None)
+
+    def measure(batch: int, dtype: str, **toggles: bool) -> Optional[dict]:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        env.update(
+            BENCH_BATCH=str(batch), BENCH_DTYPE=dtype,
+            BENCH_SCAN_STEPS=str(scan_steps), BENCH_REPS=str(reps),
+            BENCH_REUSE_FAKE="1" if toggles.get("reuse_fake") else "0",
+            BENCH_FUSED_CRITIC="1" if toggles.get("fused_critic") else "0",
+        )
+        if smoke:
+            env.update(BENCH_SMOKE="1", BENCH_FORCE_CPU="1")
+        label = f"b{batch} {dtype}" + "".join(f" +{k}" for k, v in toggles.items() if v)
+        click.echo(f"measuring {label} ...", err=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "downgan_tpu.bench"], env=env,
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            click.echo(f"  {label}: TIMEOUT after {timeout_s}s", err=True)
+            return None
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            click.echo(f"  {label}: FAILED\n{proc.stderr[-2000:]}", err=True)
+            return None
+        rec = json.loads(lines[-1])
+        rec.update(batch=batch, dtype=dtype, **toggles)
+        click.echo(f"  {label}: {rec['value']} {rec['unit']}", err=True)
+        return rec
+
+    candidates = []
+    for dtype in [d.strip() for d in dtypes.split(",") if d.strip()]:
+        for b in [int(x) for x in batches.split(",") if x.strip()]:
+            rec = measure(b, dtype)
+            if rec is not None:
+                candidates.append(rec)
+    if not candidates:
+        raise click.ClickException("every candidate failed or timed out")
+
+    best = max(candidates, key=lambda r: r["value"])
+    if fast_paths:
+        for toggle in ("reuse_fake", "fused_critic"):
+            rec = measure(best["batch"], best["dtype"], **{toggle: True})
+            if rec is not None:
+                candidates.append(rec)
+        best = max(candidates, key=lambda r: r["value"])
+
+    recommended = base.replace(hp=dataclasses.replace(
+        base.hp,
+        batch_size=best["batch"],
+        compute_dtype=best["dtype"],
+        metrics_reuse_fake=bool(best.get("reuse_fake")),
+        fused_critic_pass=bool(best.get("fused_critic")),
+    ))
+    report = {
+        "best": {k: best[k] for k in
+                 ("metric", "value", "unit", "batch", "dtype",
+                  "aggregate_patches_per_sec", "n_chips")},
+        "recommended_hp": {
+            "batch_size": best["batch"],
+            "compute_dtype": best["dtype"],
+            "metrics_reuse_fake": bool(best.get("reuse_fake")),
+            "fused_critic_pass": bool(best.get("fused_critic")),
+        },
+        "candidates": [
+            {k: r[k] for k in ("metric", "value")} for r in
+            sorted(candidates, key=lambda r: -r["value"])
+        ],
+    }
+    click.echo(json.dumps(report))
+    if out:
+        with open(out, "w") as f:
+            f.write(recommended.to_json())
+        click.echo(f"recommended production config written to {out}", err=True)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,8 @@
 from downgan_tpu.data.netcdf import NetCDFFile, read_variable, write_netcdf  # noqa: F401
 from downgan_tpu.data.times import datetime_wrf_period, dt_index, wrf_to_dt, filter_times  # noqa: F401
 from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset  # noqa: F401
+from downgan_tpu.data.feed import HostDataset, prefetch_batches  # noqa: F401
+from downgan_tpu.data.stream import LazyField, StreamDataset  # noqa: F401
 from downgan_tpu.data.pipeline import (  # noqa: F401
     crop_array,
     standardize,

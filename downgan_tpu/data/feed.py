@@ -13,6 +13,7 @@ The reference has no equivalent (it asserts everything onto the GPU,
 """
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -45,7 +46,14 @@ def prefetch_batches(
     prefetch: int = 2,
 ) -> Iterator[Tuple[jax.Array, jax.Array]]:
     """Yield device-resident (coarse, fine) batches for one epoch with
-    ``prefetch`` transfers in flight ahead of the consumer."""
+    ``prefetch`` batches in flight ahead of the consumer.
+
+    The host side of ``put`` (batch assembly — a numpy fancy-index for
+    :class:`HostDataset`, a disk read for
+    :class:`~downgan_tpu.data.stream.StreamDataset`) runs on a single
+    reader thread, so I/O overlaps the current step's compute as well as
+    the (already-async) H2D transfer. One worker keeps batch order and
+    read order deterministic."""
 
     def put(idx: np.ndarray) -> Tuple[jax.Array, jax.Array]:
         c = dataset.coarse[idx]
@@ -54,16 +62,20 @@ def prefetch_batches(
             return jax.device_put(c, sharding), jax.device_put(f, sharding)
         return jax.device_put(c), jax.device_put(f)
 
-    buf = []
-    it = iter(perm)
+    ex = ThreadPoolExecutor(max_workers=1)
     try:
-        for _ in range(prefetch):
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    for idx in it:
-        out = buf.pop(0)
-        buf.append(put(idx))  # enqueue next transfer before yielding current
-        yield out
-    while buf:
-        yield buf.pop(0)
+        buf = []
+        it = iter(perm)
+        try:
+            for _ in range(max(1, prefetch)):
+                buf.append(ex.submit(put, next(it)))
+        except StopIteration:
+            pass
+        for idx in it:
+            out = buf.pop(0)
+            buf.append(ex.submit(put, idx))
+            yield out.result()
+        while buf:
+            yield buf.pop(0).result()
+    finally:
+        ex.shutdown(wait=True)

@@ -241,7 +241,11 @@ def write_preprocessed(
             dims={"data": ("time", "var", "lat", "lon")},
             coords=coords,
             attrs={"data": {"variables": ",".join(names)}},
-            chunks={"data": (min(64, tvhw.shape[0]), tvhw.shape[1], tvhw.shape[2], tvhw.shape[3])},
+            # One time row per chunk: sequential whole-file loads are
+            # unaffected (uncompressed), and the disk-streaming tier
+            # (data/stream.py) reads random batch rows with zero chunk
+            # amplification.
+            chunks={"data": (1, tvhw.shape[1], tvhw.shape[2], tvhw.shape[3])},
         )
         paths.append(path)
     return paths

@@ -48,7 +48,9 @@ class Trainer:
     path — the reference's whole-set-on-GPU residency, stage.py:28-31) or
     :class:`HostDataset` (host RAM, batches streamed through the
     double-buffered ``data.feed`` pipeline for regions that don't fit
-    HBM — SURVEY §7 step 4). The fused-epoch scan is device-resident-only
+    HBM — SURVEY §7 step 4; its subclass
+    :class:`~downgan_tpu.data.stream.StreamDataset` reads batches lazily
+    from disk for sets that don't fit host RAM either). The fused-epoch scan is device-resident-only
     (one compiled program gathers batches in HBM); host-fed training
     requires ``hp.fused_epoch=False`` and trains through the per-step
     jitted loop, bit-identical to the device-resident trajectory (tested).

@@ -57,6 +57,34 @@ def test_bench_smoke_8_device_mesh():
     assert "smoke" in rec["metric"]
 
 
+def test_tune_smoke(tmp_path):
+    """`downgan tune` sweeps candidates through the bench harness and
+    writes the recommended production config."""
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+    from downgan_tpu.config.config import Config
+
+    out = str(tmp_path / "tuned.json")
+    result = CliRunner().invoke(
+        cli,
+        ["tune", "--smoke", "--batches", "8", "--dtypes", "float32",
+         "--scan-steps", "2", "--reps", "1", "--no-fast-paths",
+         "--out", out],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    report = json.loads(
+        [l for l in result.output.splitlines() if l.startswith("{")][-1])
+    assert report["best"]["batch"] == 8
+    assert report["best"]["value"] > 0
+    assert report["recommended_hp"]["metrics_reuse_fake"] is False
+    with open(out) as f:
+        cfg = Config.from_json(f.read())
+    assert cfg.hp.batch_size == 8
+    assert cfg.hp.compute_dtype == "float32"
+
+
 def test_bench_smoke_multihost_two_process():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
