@@ -37,7 +37,9 @@ BENCH_DTYPE (bfloat16; set float32 + BENCH_BATCH=64 for the
 reference-parity workload), BENCH_METRICS (1), BENCH_MODE (train|infer —
 infer measures generator-forward SR throughput in patches/sec), and the
 fast-path toggles BENCH_REMAT / BENCH_FUSED_CRITIC / BENCH_REUSE_FAKE
-(all 0 = reference-parity semantics).
+(all 0 = reference-parity semantics), and BENCH_GRAD_ACCUM (microbatch
+gradient accumulation — measures the memory/throughput trade at batches
+HBM cannot materialize in one piece).
 
 Multi-chip ready: the scanned step is jitted over a mesh of ALL devices
 (DP batch sharding) — on a v5e-8 host the same command measures 8-chip
@@ -175,6 +177,7 @@ def main() -> None:
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
         fused_critic_pass=os.environ.get("BENCH_FUSED_CRITIC", "0") == "1",
         metrics_reuse_fake=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
+        grad_accum=int(os.environ.get("BENCH_GRAD_ACCUM", "1")),
         **({"metrics_to_calculate": ("MAE", "MSE", "Wass")} if smoke else {}),
     ))
     if multihost:
@@ -271,6 +274,8 @@ def main() -> None:
                     + ("_reusefake" if config.hp.metrics_reuse_fake else "")
                     + ("_fusedcritic" if config.hp.fused_critic_pass else "")
                     + ("_remat" if config.hp.remat else "")
+                    + (f"_accum{config.hp.grad_accum}"
+                       if config.hp.grad_accum > 1 else "")
                     + ("_smoke" if smoke else ""),
                     "value": round(pps, 1),
                     "unit": "patches/sec/chip",

@@ -103,6 +103,11 @@ def cli() -> None:
 @click.option("--batch-size", type=int, default=None)
 @click.option("--lr", type=float, default=None)
 @click.option("--compute-dtype", type=click.Choice(["float32", "bfloat16"]), default=None)
+@click.option("--grad-accum", type=int, default=None,
+              help="Split each update's batch into this many microbatches "
+              "and accumulate gradients on device (one optimizer update, "
+              "same math, peak activation memory / N — train effective "
+              "batches bigger than HBM allows).")
 @click.option("--schedule", type=click.Choice(["reference", "fused"]), default=None,
               help="Generator-update schedule: reference parity (step %% n_critic) "
               "or fused n_critic-round fast path.")
@@ -164,11 +169,12 @@ def cli() -> None:
 @click.option("--tensorboard", is_flag=True,
               help="Also log metrics/figures to TensorBoard under the run's "
               "artifact dir (tracking/tensorboard.py).")
-def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
-          synthetic, samples, experiment, run_name, tracking_root, checkpoint_dir,
-          resume, interactive, mesh, multihost, coordinator, num_processes,
-          process_id, host_feed, stream, save_every, max_checkpoints,
-          keep_every, print_every, plot_every, eof_lambda, tensorboard) -> None:
+def train(config_path, region, epochs, batch_size, lr, compute_dtype,
+          grad_accum, schedule, synthetic, samples, experiment, run_name,
+          tracking_root, checkpoint_dir, resume, interactive, mesh, multihost,
+          coordinator, num_processes, process_id, host_feed, stream,
+          save_every, max_checkpoints, keep_every, print_every, plot_every,
+          eof_lambda, tensorboard) -> None:
     """Train the WGAN-GP super-resolution model."""
     import dataclasses
 
@@ -207,7 +213,8 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype, schedule,
 
     config = _load_config(
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
-        compute_dtype=compute_dtype, schedule=schedule, eof_lambda=eof_lambda,
+        compute_dtype=compute_dtype, grad_accum=grad_accum, schedule=schedule,
+        eof_lambda=eof_lambda,
     )
     if host_feed and stream:
         raise click.UsageError(

@@ -171,6 +171,16 @@ class HyperParams:
     # off by default only to preserve the bit-determinism story (XLA may
     # tile a 2B conv differently from a B conv at the last ulp).
     fused_critic_pass: bool = False
+    # Gradient accumulation: split each update's batch into `grad_accum`
+    # equal microbatches, scan the loss+grad over them on device, and apply
+    # ONE optimizer update with the averaged gradients. Every loss term is
+    # a per-sample mean, so the math equals the full-batch update (up to fp
+    # summation order) while peak activation memory — dominated by the GP
+    # double backward — scales with batch/grad_accum: HBM-constrained chips
+    # can train effective batches they cannot materialize. Composes with
+    # remat and DP sharding. No reference equivalent (the reference OOMs
+    # past what one GPU holds).
+    grad_accum: int = 1
 
     def __post_init__(self) -> None:
         if not self.drop_last:
@@ -186,6 +196,12 @@ class HyperParams:
         if self.print_every < 1 or self.save_every < 1:
             raise ValueError("print_every/save_every are epoch cadences; "
                              "both must be >= 1")
+        if self.grad_accum < 1:
+            raise ValueError("grad_accum must be >= 1")
+        if self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"batch_size={self.batch_size} must divide into "
+                f"grad_accum={self.grad_accum} equal microbatches")
 
     @property
     def effective_gp_weight(self) -> float:

@@ -170,6 +170,46 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic,
     return split_bands, critic_loss_fn, gen_loss_fn
 
 
+def _accum_value_and_grad(loss_fn, k: int, has_aux: bool):
+    """``jax.value_and_grad`` over ``k`` equal microbatches of the leading
+    batch axis, averaged (hp.grad_accum).
+
+    All batch-positional args after ``params`` split on axis 0 into a
+    (k, B/k, ...) stack and a ``lax.scan`` accumulates (loss, aux, grads),
+    so only ONE microbatch's activations — in particular the gradient
+    penalty's double-backward buffers, the peak of the step — are live at
+    a time. Every WGAN-GP loss term is a per-sample mean, so the average
+    of the microbatch results equals the full-batch computation up to fp
+    summation order. No reference equivalent: the reference is hard-capped
+    at the batch one GPU can materialize.
+    """
+    vag = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def split(x: jax.Array) -> jax.Array:
+        b = x.shape[0]
+        if b % k:
+            raise ValueError(
+                f"batch {b} does not divide into grad_accum={k} microbatches")
+        return x.reshape(k, b // k, *x.shape[1:])
+
+    def accum(params, *batch_args):
+        mbs = tuple(split(a) for a in batch_args)
+        first = tuple(m[0] for m in mbs)
+        init = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(vag, params, *first),
+        )
+
+        def body(acc, mb):
+            out = vag(params, *mb)
+            return jax.tree.map(jnp.add, acc, out), None
+
+        total, _ = lax.scan(body, init, mbs)
+        return jax.tree.map(lambda x: x / k, total)
+
+    return accum
+
+
 def _ema_update(hp, ema: Any, new_params: Any) -> Any:
     """EMA of generator weights (hp.ema_decay; None passthrough when off)."""
     if not hp.ema_decay or ema is None:
@@ -218,17 +258,27 @@ def build_train_step(
             _, real_c = split_bands(fine)
         else:
             fake_c, real_c = fake, fine
-        (c_loss, (c_real_mean, c_fake_mean)), c_grads = jax.value_and_grad(
-            critic_loss_fn, has_aux=True
-        )(state.c_params, fake_c, real_c, alpha)
+        if hp.grad_accum > 1:
+            c_vag = _accum_value_and_grad(critic_loss_fn, hp.grad_accum,
+                                          has_aux=True)
+        else:
+            c_vag = jax.value_and_grad(critic_loss_fn, has_aux=True)
+        (c_loss, (c_real_mean, c_fake_mean)), c_grads = c_vag(
+            state.c_params, fake_c, real_c, alpha)
         c_updates, c_opt_state = tx.update(c_grads, state.c_opt_state, state.c_params)
         c_params = optax.apply_updates(state.c_params, c_updates)
 
         # ---- generator update on the reference schedule (incl. step 0)
         def g_update(_: None):
-            g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
-                state.g_params, c_params, coarse, fine
-            )
+            if hp.grad_accum > 1:
+                g_loss, g_grads = _accum_value_and_grad(
+                    lambda p, c, f: gen_loss_fn(p, c_params, c, f),
+                    hp.grad_accum, has_aux=False,
+                )(state.g_params, coarse, fine)
+            else:
+                g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
+                    state.g_params, c_params, coarse, fine
+                )
             g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
             new_g = optax.apply_updates(state.g_params, g_updates)
             new_ema = _ema_update(hp, state.g_ema, new_g)
@@ -315,9 +365,13 @@ def build_fused_round(
                 _, real_c = split_bands(fine)
             else:
                 fake_c, real_c = fake, fine
-            (c_loss, (c_real, c_fake)), grads = jax.value_and_grad(
-                critic_loss_fn, has_aux=True
-            )(c_params, fake_c, real_c, alpha)
+            if hp.grad_accum > 1:
+                c_vag = _accum_value_and_grad(critic_loss_fn, hp.grad_accum,
+                                              has_aux=True)
+            else:
+                c_vag = jax.value_and_grad(critic_loss_fn, has_aux=True)
+            (c_loss, (c_real, c_fake)), grads = c_vag(
+                c_params, fake_c, real_c, alpha)
             updates, c_opt_state = tx.update(grads, c_opt_state, c_params)
             c_params = optax.apply_updates(c_params, updates)
             return (c_params, c_opt_state, step + 1), (c_loss, c_real, c_fake)
@@ -329,9 +383,15 @@ def build_fused_round(
         )
 
         g_coarse, g_fine = coarse_n[-1], fine_n[-1]
-        g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
-            state.g_params, c_params, g_coarse, g_fine
-        )
+        if hp.grad_accum > 1:
+            g_loss, g_grads = _accum_value_and_grad(
+                lambda p, c, f: gen_loss_fn(p, c_params, c, f),
+                hp.grad_accum, has_aux=False,
+            )(state.g_params, g_coarse, g_fine)
+        else:
+            g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
+                state.g_params, c_params, g_coarse, g_fine
+            )
         g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         g_ema = _ema_update(hp, state.g_ema, g_params)

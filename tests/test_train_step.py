@@ -237,3 +237,97 @@ def test_ema_off_keeps_state_lean():
     config = small_config()
     state = create_state(config, jax.random.PRNGKey(0))
     assert state.g_ema is None
+
+
+def _accum_config(grad_accum: int, **hp_kw) -> Config:
+    hp = HyperParams(
+        batch_size=8, critic_iterations=2, grad_accum=grad_accum,
+        metrics_to_calculate=("MAE", "MSE", "Wass"), **hp_kw,
+    )
+    return Config(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+                  hp=hp)
+
+
+def test_grad_accum_matches_full_batch():
+    """hp.grad_accum: the accumulated step equals the full-batch step up
+    to fp32 summation order — same post-update params, same losses."""
+    cfg_full = _accum_config(1)
+    cfg_acc = _accum_config(4)
+    gen, critic = make_models(cfg_full)
+    state = create_state(cfg_full, jax.random.PRNGKey(0))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 2))
+    rng = jax.random.PRNGKey(3)
+
+    s_full, m_full = jax.jit(build_train_step(cfg_full, gen, critic))(
+        state, coarse, fine, rng)
+    s_acc, m_acc = jax.jit(build_train_step(cfg_acc, gen, critic))(
+        state, coarse, fine, rng)
+
+    assert int(s_full.step) == int(s_acc.step) == 1
+    for a, b in zip(jax.tree.leaves(s_full.g_params),
+                    jax.tree.leaves(s_acc.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(s_full.c_params),
+                    jax.tree.leaves(s_acc.c_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for k in ("critic_loss", "gen_loss"):
+        assert float(m_full[k]) == pytest.approx(float(m_acc[k]), rel=1e-4)
+
+
+def test_grad_accum_fused_round_matches():
+    """grad_accum under the fused n-critic schedule: same round result as
+    the full-batch fused round."""
+    from downgan_tpu.training.wgan import build_fused_round
+
+    cfg_full = _accum_config(1, schedule="fused")
+    cfg_acc = _accum_config(2, schedule="fused")
+    n = cfg_full.hp.critic_iterations
+    gen, critic = make_models(cfg_full)
+    state = create_state(cfg_full, jax.random.PRNGKey(0))
+    coarse_n = jax.random.normal(jax.random.PRNGKey(1), (n, 8, 8, 8, 7))
+    fine_n = jax.random.normal(jax.random.PRNGKey(2), (n, 8, 32, 32, 2))
+    rng = jax.random.PRNGKey(3)
+
+    s_full, _ = jax.jit(build_fused_round(cfg_full, gen, critic))(
+        state, coarse_n, fine_n, rng)
+    s_acc, _ = jax.jit(build_fused_round(cfg_acc, gen, critic))(
+        state, coarse_n, fine_n, rng)
+    assert int(s_full.step) == int(s_acc.step) == n
+    for a, b in zip(jax.tree.leaves(s_full.c_params),
+                    jax.tree.leaves(s_acc.c_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(s_full.g_params),
+                    jax.tree.leaves(s_acc.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_grad_accum_validation():
+    with pytest.raises(ValueError, match="grad_accum"):
+        HyperParams(batch_size=8, grad_accum=3)
+    with pytest.raises(ValueError, match="grad_accum"):
+        HyperParams(grad_accum=0)
+
+
+def test_grad_accum_data_parallel_mesh():
+    """grad_accum composes with DP sharding: the accumulated step jits and
+    runs over the full device mesh (microbatch reshape splits the sharded
+    batch axis; GSPMD handles the re-layout)."""
+    from downgan_tpu.parallel.dp import build_dp_train_step
+    from downgan_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+
+    cfg = _accum_config(2)
+    gen, critic = make_models(cfg)
+    mesh = make_mesh()
+    coarse = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 7)))
+    fine = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 2)))
+    step = build_dp_train_step(cfg, gen, critic, mesh, donate_state=False)
+    state = replicate_state(mesh, create_state(cfg, jax.random.PRNGKey(0)))
+    c, f = shard_batch(mesh, coarse, fine)
+    new_state, metrics = step(state, c, f, jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["critic_loss"]))
