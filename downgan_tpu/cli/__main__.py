@@ -102,7 +102,21 @@ def cli() -> None:
 @click.option("--epochs", type=int, default=None)
 @click.option("--batch-size", type=int, default=None)
 @click.option("--lr", type=float, default=None)
+@click.option("--lr-schedule", type=click.Choice(["constant", "cosine", "linear"]),
+              default=None,
+              help="LR decay shape (default constant = reference parity). "
+              "Steps count each network's own optimizer updates.")
+@click.option("--lr-warmup-steps", type=int, default=None,
+              help="Linear warmup from 0 over this many updates.")
+@click.option("--lr-decay-steps", type=int, default=None,
+              help="Total updates over which cosine/linear decay runs.")
+@click.option("--lr-final-factor", type=float, default=None,
+              help="End LR as a fraction of --lr (default 0).")
 @click.option("--compute-dtype", type=click.Choice(["float32", "bfloat16"]), default=None)
+@click.option("--augment-flips/--no-augment-flips", default=None,
+              help="Physics-aware on-device augmentation: random per-sample "
+              "lon/lat mirror flips of the (coarse, fine) pair, negating "
+              "the u/v wind component the mirror reverses (training only).")
 @click.option("--grad-accum", type=int, default=None,
               help="Split each update's batch into this many microbatches "
               "and accumulate gradients on device (one optimizer update, "
@@ -169,8 +183,10 @@ def cli() -> None:
 @click.option("--tensorboard", is_flag=True,
               help="Also log metrics/figures to TensorBoard under the run's "
               "artifact dir (tracking/tensorboard.py).")
-def train(config_path, region, epochs, batch_size, lr, compute_dtype,
-          grad_accum, schedule, synthetic, samples, experiment, run_name,
+def train(config_path, region, epochs, batch_size, lr, lr_schedule,
+          lr_warmup_steps, lr_decay_steps, lr_final_factor, compute_dtype,
+          augment_flips, grad_accum, schedule, synthetic, samples,
+          experiment, run_name,
           tracking_root, checkpoint_dir, resume, interactive, mesh, multihost,
           coordinator, num_processes, process_id, host_feed, stream,
           save_every, max_checkpoints, keep_every, print_every, plot_every,
@@ -213,8 +229,10 @@ def train(config_path, region, epochs, batch_size, lr, compute_dtype,
 
     config = _load_config(
         config_path, region, epochs=epochs, batch_size=batch_size, lr=lr,
-        compute_dtype=compute_dtype, grad_accum=grad_accum, schedule=schedule,
-        eof_lambda=eof_lambda,
+        lr_schedule=lr_schedule, lr_warmup_steps=lr_warmup_steps,
+        lr_decay_steps=lr_decay_steps, lr_final_factor=lr_final_factor,
+        compute_dtype=compute_dtype, augment_flips=augment_flips,
+        grad_accum=grad_accum, schedule=schedule, eof_lambda=eof_lambda,
     )
     if host_feed and stream:
         raise click.UsageError(

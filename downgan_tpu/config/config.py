@@ -181,6 +181,25 @@ class HyperParams:
     # remat and DP sharding. No reference equivalent (the reference OOMs
     # past what one GPU holds).
     grad_accum: int = 1
+    # Learning-rate schedule (the reference hard-codes a constant Adam LR,
+    # stage.py:63-64 — constant stays the parity default). "cosine" /
+    # "linear" decay from `lr` to `lr * lr_final_factor` over
+    # `lr_decay_steps` OPTIMIZER UPDATES (each network counts its own:
+    # with critic_iterations=5 the generator takes 1 update per 5 steps,
+    # so its schedule advances 5x slower than the critic's), after
+    # `lr_warmup_steps` of linear warmup from 0. The schedule count lives
+    # in the Adam state, so checkpoints resume it exactly.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
+    lr_final_factor: float = 0.0
+    # Physics-aware on-device augmentation (ops/augment.py): random
+    # per-sample lon/lat mirror flips of the (coarse, fine) pair inside the
+    # jitted step, negating the u (lon) / v (lat) wind components so the
+    # mirrored fields stay physical (divergence/vorticity are exactly the
+    # mirrored originals — tested). Off = parity (the reference has no
+    # augmentation). Training-only; eval batches are never augmented.
+    augment_flips: bool = False
 
     def __post_init__(self) -> None:
         if not self.drop_last:
@@ -202,6 +221,17 @@ class HyperParams:
             raise ValueError(
                 f"batch_size={self.batch_size} must divide into "
                 f"grad_accum={self.grad_accum} equal microbatches")
+        if self.lr_schedule not in ("constant", "cosine", "linear"):
+            raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
+        if self.lr_schedule != "constant" and self.lr_decay_steps <= 0:
+            raise ValueError(
+                f"lr_schedule={self.lr_schedule!r} requires lr_decay_steps "
+                "> 0 (total optimizer updates over which to decay)")
+        if self.lr_warmup_steps < 0 or self.lr_final_factor < 0:
+            raise ValueError("lr_warmup_steps/lr_final_factor must be >= 0")
+        if (self.lr_schedule != "constant"
+                and self.lr_warmup_steps >= self.lr_decay_steps):
+            raise ValueError("lr_warmup_steps must be < lr_decay_steps")
 
     @property
     def effective_gp_weight(self) -> float:
@@ -261,6 +291,15 @@ class Config:
     # reference carries as dead code, networks/generator.py:93-204).
     generator_arch: str = "rrdb"
 
+    # Wind-vector component positions in the channel stacks (u10, v10 lead
+    # both stacks, COVARIATE_NAMES_ORDERED / FINE_NAMES_ORDERED) — consumed
+    # by the physics-aware flip augmentation (hp.augment_flips): a lon
+    # mirror negates the u channels, a lat mirror the v channels.
+    u_channels_coarse: Tuple[int, ...] = (0,)
+    v_channels_coarse: Tuple[int, ...] = (1,)
+    u_channels_fine: Tuple[int, ...] = (0,)
+    v_channels_fine: Tuple[int, ...] = (1,)
+
     hp: HyperParams = field(default_factory=HyperParams)
 
     # Mesh / parallelism (no reference equivalent; reference is 1 GPU).
@@ -305,7 +344,9 @@ class Config:
         for k in ("start_time", "end_time"):
             if k in raw and isinstance(raw[k], str):
                 raw[k] = datetime.fromisoformat(raw[k])
-        for key in ("invariant_fields", "mask_years", "mesh_shape", "mesh_axes"):
+        for key in ("invariant_fields", "mask_years", "mesh_shape", "mesh_axes",
+                    "u_channels_coarse", "v_channels_coarse",
+                    "u_channels_fine", "v_channels_fine"):
             if key in raw and isinstance(raw[key], list):
                 raw[key] = tuple(raw[key])
         if "metrics_to_calculate" in hp_raw and isinstance(hp_raw["metrics_to_calculate"], list):

@@ -65,14 +65,49 @@ def make_models(config: Config) -> Tuple[Any, Critic]:
     return gen, critic
 
 
+def lr_schedule_fn(hp) -> optax.Schedule:
+    """LR schedule from the hp knobs (steps = per-network optimizer
+    updates). Constant is the reference parity default (stage.py:63-64);
+    cosine/linear decay `lr` -> `lr * lr_final_factor` over
+    `lr_decay_steps` after `lr_warmup_steps` of linear warmup from 0."""
+    if hp.lr_schedule == "constant":
+        if hp.lr_warmup_steps:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, hp.lr, hp.lr_warmup_steps),
+                 optax.constant_schedule(hp.lr)],
+                [hp.lr_warmup_steps],
+            )
+        return optax.constant_schedule(hp.lr)
+    end = hp.lr * hp.lr_final_factor
+    if hp.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, hp.lr, hp.lr_warmup_steps, hp.lr_decay_steps, end_value=end)
+    decay = optax.linear_schedule(
+        hp.lr, end, hp.lr_decay_steps - hp.lr_warmup_steps)
+    if hp.lr_warmup_steps:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, hp.lr, hp.lr_warmup_steps), decay],
+            [hp.lr_warmup_steps],
+        )
+    return decay
+
+
 def make_optimizer(config: Config) -> optax.GradientTransformation:
     """Adam(lr=2.5e-4, betas=(0.9, 0.99)) — reference stage.py:63-64.
 
     torch Adam and optax.adam share the same update rule (eps outside the
-    sqrt bias correction differs only at eps-scale; both use 1e-8).
+    sqrt bias correction differs only at eps-scale; both use 1e-8). The
+    LR follows :func:`lr_schedule_fn`; the schedule's count is the Adam
+    state's update counter, so each network (G updates 1-in-n_critic
+    steps) advances its own schedule and checkpoint resume is exact.
     """
     hp = config.hp
-    return optax.adam(hp.lr, b1=hp.beta1, b2=hp.beta2, eps=1e-8)
+    if hp.lr_schedule == "constant" and not hp.lr_warmup_steps:
+        # Plain float LR keeps the stateless scale transform — the
+        # opt_state pytree (and existing checkpoints) of parity configs
+        # stay unchanged; a schedule adds a ScaleBySchedule count leaf.
+        return optax.adam(hp.lr, b1=hp.beta1, b2=hp.beta2, eps=1e-8)
+    return optax.adam(lr_schedule_fn(hp), b1=hp.beta1, b2=hp.beta2, eps=1e-8)
 
 
 def create_state(config: Config, rng: jax.Array) -> GANTrainState:

@@ -245,10 +245,21 @@ def build_train_step(
         config, gen, critic, eof_components=eof_components
     )
 
+    augment = None
+    if hp.augment_flips:
+        from downgan_tpu.ops.augment import make_augment
+
+        augment = make_augment(config)
+
     def train_step(
         state: GANTrainState, coarse: jax.Array, fine: jax.Array, rng: jax.Array
     ) -> Tuple[GANTrainState, Metrics]:
         alpha_rng = jax.random.fold_in(rng, state.step)
+        if augment is not None:
+            # Distinct stream from alpha's (fold_in twice) so the parity
+            # path's alpha draws are untouched when augmentation is off.
+            coarse, fine = augment(
+                jax.random.fold_in(alpha_rng, 1), coarse, fine)
         alpha = jax.random.uniform(alpha_rng, (fine.shape[0], 1, 1, 1), jnp.float32)
 
         # ---- critic update (gradients do not flow into G: stop_gradient)
@@ -350,9 +361,27 @@ def build_fused_round(
         config, gen, critic, eof_components=eof_components
     )
 
+    augment = None
+    if hp.augment_flips:
+        from downgan_tpu.ops.augment import make_augment
+
+        augment = make_augment(config)
+
     def fused_round(
         state: GANTrainState, coarse_n: jax.Array, fine_n: jax.Array, rng: jax.Array
     ) -> Tuple[GANTrainState, Metrics]:
+        if augment is not None:
+            # One flip decision per sample across the whole round's
+            # (n_critic, B) stack; pairs stay aligned.
+            nc, b = coarse_n.shape[:2]
+            c2, f2 = augment(
+                jax.random.fold_in(jax.random.fold_in(rng, state.step), 1),
+                coarse_n.reshape(nc * b, *coarse_n.shape[2:]),
+                fine_n.reshape(nc * b, *fine_n.shape[2:]),
+            )
+            coarse_n = c2.reshape(coarse_n.shape)
+            fine_n = f2.reshape(fine_n.shape)
+
         def critic_body(carry, batch):
             c_params, c_opt_state, step = carry
             coarse, fine = batch
