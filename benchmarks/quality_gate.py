@@ -17,6 +17,11 @@ pinned below; thresholds are set from a measured TPU calibration run
 Usage:
   python benchmarks/quality_gate.py             # full gate (TPU, ~7 min)
   python benchmarks/quality_gate.py --smoke     # harness path only (CPU, ~1 min)
+  python benchmarks/quality_gate.py --augment   # same budget with the
+      physics-aware flip augmentation ON (ablation receipt; thresholds
+      still asserted — the synthetic covariates' u/v channels are block
+      means of the fine u/v, so the sign-corrected flips are exactly
+      consistent on this task)
 
 Prints one JSON line ``{"gate": "quality", "passed": bool, ...}`` and
 exits non-zero on failure, so it drops into any CI with TPU runners as a
@@ -52,7 +57,7 @@ THRESHOLDS = {
 }
 
 
-def run(smoke: bool) -> dict:
+def run(smoke: bool, augment: bool = False) -> dict:
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.trainer import Trainer
@@ -70,6 +75,7 @@ def run(smoke: bool) -> dict:
         config = Config(hp=HyperParams(
             batch_size=BATCH,
             epochs=EPOCHS,
+            augment_flips=augment,
             metrics_to_calculate=("MAE", "MSE", "MSSSIM", "RALSD", "Wass"),
         ))
         n_samples = N_SAMPLES
@@ -101,6 +107,7 @@ def run(smoke: bool) -> dict:
     return {
         "gate": "quality",
         "smoke": smoke,
+        "augment": augment,
         "passed": passed,
         "epochs": config.hp.epochs,
         "covariate_noise": COVARIATE_NOISE,
@@ -118,7 +125,7 @@ def main() -> None:
     from downgan_tpu.runtime import setup_cache
 
     setup_cache()
-    out = run(smoke)
+    out = run(smoke, augment="--augment" in sys.argv)
     print(json.dumps(out))
     sys.exit(0 if out["passed"] else 1)
 

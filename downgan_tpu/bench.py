@@ -178,6 +178,7 @@ def main() -> None:
         fused_critic_pass=os.environ.get("BENCH_FUSED_CRITIC", "0") == "1",
         metrics_reuse_fake=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
         grad_accum=int(os.environ.get("BENCH_GRAD_ACCUM", "1")),
+        augment_flips=os.environ.get("BENCH_AUGMENT", "0") == "1",
         **({"metrics_to_calculate": ("MAE", "MSE", "Wass")} if smoke else {}),
     ))
     if multihost:
@@ -276,6 +277,7 @@ def main() -> None:
                     + ("_remat" if config.hp.remat else "")
                     + (f"_accum{config.hp.grad_accum}"
                        if config.hp.grad_accum > 1 else "")
+                    + ("_augment" if config.hp.augment_flips else "")
                     + ("_smoke" if smoke else ""),
                     "value": round(pps, 1),
                     "unit": "patches/sec/chip",

@@ -33,3 +33,19 @@ def test_quality_gate_smoke():
     # smoke mode still trains for real: finite metrics from the test pass
     assert rec["metrics"]["MAE_test"] > 0
     assert rec["metrics"]["Wass_test"] == rec["metrics"]["Wass_test"]  # not NaN
+
+
+def test_stream_bench_smoke():
+    """The data-residency throughput harness (benchmarks/stream_bench.py)
+    runs all three tiers end-to-end in smoke mode."""
+    bench = os.path.join(os.path.dirname(GATE), "stream_bench.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, bench, "--smoke"], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    tiers = [json.loads(l) for l in proc.stdout.splitlines()
+             if l.startswith("{")]
+    assert [t["tier"] for t in tiers] == ["device", "host", "stream"]
+    assert all(t["steady_epoch_s"] > 0 for t in tiers)
