@@ -37,9 +37,13 @@ BENCH_DTYPE (bfloat16; set float32 + BENCH_BATCH=64 for the
 reference-parity workload), BENCH_METRICS (1), BENCH_MODE (train|infer —
 infer measures generator-forward SR throughput in patches/sec), and the
 fast-path toggles BENCH_REMAT / BENCH_FUSED_CRITIC / BENCH_REUSE_FAKE
-(all 0 = reference-parity semantics), and BENCH_GRAD_ACCUM (microbatch
+(all 0 = reference-parity semantics), BENCH_GRAD_ACCUM (microbatch
 gradient accumulation — measures the memory/throughput trade at batches
-HBM cannot materialize in one piece).
+HBM cannot materialize in one piece), BENCH_AUGMENT (physics-aware flip
+augmentation in the step), and BENCH_CONFIG=<path> (measure a specific
+Config JSON — its shapes/hp become the defaults, explicit BENCH_* knobs
+still override; this is how `downgan tune --config` measures the user's
+actual model).
 
 Multi-chip ready: the scanned step is jitted over a mesh of ALL devices
 (DP batch sharding) — on a v5e-8 host the same command measures 8-chip
@@ -158,29 +162,57 @@ def main() -> None:
     from downgan_tpu.training.state import create_state, make_models
     from downgan_tpu.training.wgan import build_train_step
 
-    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "8" if smoke else "128"))
-    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "2" if smoke else "30"))
-    reps = int(os.environ.get("BENCH_REPS", "1" if smoke else "5"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32" if smoke else "bfloat16")
-    with_metrics = os.environ.get("BENCH_METRICS", "1") == "1"
+    import dataclasses
 
-    model_kw = {}
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+    base_path = os.environ.get("BENCH_CONFIG")
+    if base_path:
+        # Measure a specific model/config (the `tune --config` path): the
+        # base config's shapes and hp are the defaults; explicit BENCH_*
+        # knobs override the swept/toggled fields.
+        with open(base_path) as f:
+            base = Config.from_json(f.read())
+    else:
+        base = Config()  # the flagship benchmark workload
     if smoke:
         # Harness-validation config: tiny net + metrics that work at any
         # field size (MS-SSIM needs >=128 px), so the FULL mesh/jit/timing
         # path runs in seconds on a virtual CPU mesh.
-        model_kw = dict(coarse_size=8, fine_size=32, filters=8, num_res_blocks=1)
-    config = Config(**model_kw, hp=HyperParams(
+        base = base.replace(coarse_size=8, fine_size=32, filters=8,
+                            num_res_blocks=1)
+
+    def env_bool(name: str, default: bool) -> bool:
+        v = os.environ.get(name)
+        return default if v is None else v == "1"
+
+    def env_int(name: str, default: int) -> int:
+        v = os.environ.get(name)
+        return default if v is None else int(v)
+
+    default_batch = base.hp.batch_size if base_path else (8 if smoke else 128)
+    batch = env_int("BENCH_BATCH", default_batch)
+    scan_steps = env_int("BENCH_SCAN_STEPS", 2 if smoke else 30)
+    reps = env_int("BENCH_REPS", 1 if smoke else 5)
+    dtype = os.environ.get(
+        "BENCH_DTYPE",
+        base.hp.compute_dtype if base_path
+        else ("float32" if smoke else "bfloat16"))
+    with_metrics = env_bool("BENCH_METRICS", True)
+
+    hp_kw = dict(
         batch_size=batch,
         compute_dtype=dtype,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        fused_critic_pass=os.environ.get("BENCH_FUSED_CRITIC", "0") == "1",
-        metrics_reuse_fake=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
-        grad_accum=int(os.environ.get("BENCH_GRAD_ACCUM", "1")),
-        augment_flips=os.environ.get("BENCH_AUGMENT", "0") == "1",
-        **({"metrics_to_calculate": ("MAE", "MSE", "Wass")} if smoke else {}),
-    ))
+        remat=env_bool("BENCH_REMAT", base.hp.remat),
+        fused_critic_pass=env_bool("BENCH_FUSED_CRITIC",
+                                   base.hp.fused_critic_pass),
+        metrics_reuse_fake=env_bool("BENCH_REUSE_FAKE",
+                                    base.hp.metrics_reuse_fake),
+        grad_accum=env_int("BENCH_GRAD_ACCUM", base.hp.grad_accum),
+        augment_flips=env_bool("BENCH_AUGMENT", base.hp.augment_flips),
+    )
+    if smoke:
+        hp_kw["metrics_to_calculate"] = ("MAE", "MSE", "Wass")
+    config = base.replace(hp=dataclasses.replace(base.hp, **hp_kw))
     if multihost:
         from downgan_tpu.parallel.multihost import global_mesh
 

@@ -932,7 +932,11 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
     base = _load_config(config_path, None)
 
     def measure(batch: int, dtype: str, **toggles: bool) -> Optional[dict]:
-        env = dict(os.environ)
+        # Start from a BENCH_*-clean environment: a stray exported knob
+        # (BENCH_MODE=infer, BENCH_FORCE_CPU=1, BENCH_MULTIHOST=1, ...)
+        # would otherwise silently corrupt or crash the whole sweep.
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith("BENCH_")}
         env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
         env.update(
             BENCH_BATCH=str(batch), BENCH_DTYPE=dtype,
@@ -940,6 +944,11 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
             BENCH_REUSE_FAKE="1" if toggles.get("reuse_fake") else "0",
             BENCH_FUSED_CRITIC="1" if toggles.get("fused_critic") else "0",
         )
+        if config_path:
+            # Measure the USER'S model (shape + remat/accum/augment flags),
+            # not the default benchmark workload — the recommendation is
+            # written into this config, so it must be measured on it.
+            env["BENCH_CONFIG"] = os.path.abspath(config_path)
         if smoke:
             env.update(BENCH_SMOKE="1", BENCH_FORCE_CPU="1")
         label = f"b{batch} {dtype}" + "".join(f" +{k}" for k, v in toggles.items() if v)

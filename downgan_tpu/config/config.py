@@ -221,6 +221,15 @@ class HyperParams:
             raise ValueError(
                 f"batch_size={self.batch_size} must divide into "
                 f"grad_accum={self.grad_accum} equal microbatches")
+        if self.grad_accum > 1 and (
+                self.divergence_lambda or self.vorticity_lambda
+                or self.eof_lambda):
+            raise ValueError(
+                "grad_accum > 1 is incompatible with the divergence/"
+                "vorticity/EOF regularizers: they normalize by a batch-"
+                "WIDE std (ops/losses.py), which is not a per-sample mean, "
+                "so microbatch accumulation would silently change their "
+                "gradients instead of reproducing the full-batch update")
         if self.lr_schedule not in ("constant", "cosine", "linear"):
             raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
         if self.lr_schedule != "constant" and self.lr_decay_steps <= 0:

@@ -7,10 +7,12 @@ the component along the mirrored axis changes sign:
   * lon flip (reverse the W axis): u -> -u at the mirrored position;
   * lat flip (reverse the H axis): v -> -v.
 
-With the sign fix, derived physics are preserved exactly — the discrete
-divergence/vorticity fields of the flipped pair are the spatial mirror of
-the originals (tested in tests/test_augment.py against ops.losses), which
-a naive image flip violates. Scalar covariates (lsm, sp, sr, z, cape —
+With the sign fix, derived physics are preserved exactly (tested in
+tests/test_augment.py): the discrete divergence field of the flipped
+pair is the spatial mirror of the original, and vorticity — a
+pseudoscalar — is the NEGATED mirror, so all magnitude/spectral
+statistics are invariant. A naive image flip (no sign correction)
+violates both. Scalar covariates (lsm, sp, sr, z, cape —
 config.COVARIATE_NAMES_ORDERED) just mirror.
 
 Both fields of a sample share one flip decision (the pair stays aligned);

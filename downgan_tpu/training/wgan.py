@@ -178,10 +178,13 @@ def _accum_value_and_grad(loss_fn, k: int, has_aux: bool):
     (k, B/k, ...) stack and a ``lax.scan`` accumulates (loss, aux, grads),
     so only ONE microbatch's activations — in particular the gradient
     penalty's double-backward buffers, the peak of the step — are live at
-    a time. Every WGAN-GP loss term is a per-sample mean, so the average
-    of the microbatch results equals the full-batch computation up to fp
-    summation order. No reference equivalent: the reference is hard-capped
-    at the batch one GPU can materialize.
+    a time. Every core WGAN-GP loss term (Wasserstein means, GP, L1
+    content) is a per-sample mean, so the average of the microbatch
+    results equals the full-batch computation up to fp summation order.
+    The divergence/vorticity/EOF regularizers are NOT per-sample means
+    (they normalize by a batch-wide std) and are rejected with grad_accum
+    at config validation. No reference equivalent: the reference is
+    hard-capped at the batch one GPU can materialize.
     """
     vag = jax.value_and_grad(loss_fn, has_aux=has_aux)
 

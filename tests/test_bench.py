@@ -57,18 +57,33 @@ def test_bench_smoke_8_device_mesh():
     assert "smoke" in rec["metric"]
 
 
-def test_tune_smoke(tmp_path):
+def test_tune_smoke(tmp_path, monkeypatch):
     """`downgan tune` sweeps candidates through the bench harness and
-    writes the recommended production config."""
+    writes the recommended production config. A --config base is plumbed
+    to the measuring subprocess (BENCH_CONFIG) and carried into the
+    recommendation; stray exported BENCH_* vars must not leak into the
+    sweep."""
+    import dataclasses
+
     from click.testing import CliRunner
 
     from downgan_tpu.cli.__main__ import cli
-    from downgan_tpu.config.config import Config
+    from downgan_tpu.config.config import Config, HyperParams
+
+    # Would switch every candidate to the inference bench (whose JSON has
+    # no aggregate field) if it leaked through — the scrub must drop it.
+    monkeypatch.setenv("BENCH_MODE", "infer")
+
+    base = Config(hp=HyperParams(critic_iterations=3,
+                                 metrics_to_calculate=("MAE", "MSE", "Wass")))
+    base_path = tmp_path / "base.json"
+    base_path.write_text(base.to_json())
 
     out = str(tmp_path / "tuned.json")
     result = CliRunner().invoke(
         cli,
-        ["tune", "--smoke", "--batches", "8", "--dtypes", "float32",
+        ["tune", "--smoke", "--config", str(base_path),
+         "--batches", "8", "--dtypes", "float32",
          "--scan-steps", "2", "--reps", "1", "--no-fast-paths",
          "--out", out],
         catch_exceptions=False,
@@ -83,6 +98,8 @@ def test_tune_smoke(tmp_path):
         cfg = Config.from_json(f.read())
     assert cfg.hp.batch_size == 8
     assert cfg.hp.compute_dtype == "float32"
+    # the --config base (not the default) is what the recommendation edits
+    assert cfg.hp.critic_iterations == 3
 
 
 def test_bench_smoke_multihost_two_process():

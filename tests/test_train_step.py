@@ -311,6 +311,12 @@ def test_grad_accum_validation():
         HyperParams(batch_size=8, grad_accum=3)
     with pytest.raises(ValueError, match="grad_accum"):
         HyperParams(grad_accum=0)
+    # batch-std-normalized regularizers are not per-sample means, so
+    # microbatching would silently change their gradients — rejected.
+    for kw in ({"eof_lambda": 1.0}, {"divergence_lambda": 0.1},
+               {"vorticity_lambda": 0.1}):
+        with pytest.raises(ValueError, match="batch-WIDE"):
+            HyperParams(batch_size=8, grad_accum=2, **kw)
 
 
 def test_grad_accum_data_parallel_mesh():
