@@ -22,6 +22,9 @@ Usage:
       still asserted — the synthetic covariates' u/v channels are block
       means of the fine u/v, so the sign-corrected flips are exactly
       consistent on this task)
+  python benchmarks/quality_gate.py --conditional  # same budget with the
+      conditional critic ON (Config.critic_conditional ablation receipt;
+      thresholds still asserted)
 
 Prints one JSON line ``{"gate": "quality", "passed": bool, ...}`` and
 exits non-zero on failure, so it drops into any CI with TPU runners as a
@@ -57,7 +60,7 @@ THRESHOLDS = {
 }
 
 
-def run(smoke: bool, augment: bool = False) -> dict:
+def run(smoke: bool, augment: bool = False, conditional: bool = False) -> dict:
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.trainer import Trainer
@@ -72,12 +75,14 @@ def run(smoke: bool, augment: bool = False) -> dict:
         )
         n_samples = 32
     else:
-        config = Config(hp=HyperParams(
-            batch_size=BATCH,
-            epochs=EPOCHS,
-            augment_flips=augment,
-            metrics_to_calculate=("MAE", "MSE", "MSSSIM", "RALSD", "Wass"),
-        ))
+        config = Config(
+            critic_conditional=conditional,
+            hp=HyperParams(
+                batch_size=BATCH,
+                epochs=EPOCHS,
+                augment_flips=augment,
+                metrics_to_calculate=("MAE", "MSE", "MSSSIM", "RALSD", "Wass"),
+            ))
         n_samples = N_SAMPLES
 
     coarse, fine = synthetic_dataset(
@@ -108,6 +113,7 @@ def run(smoke: bool, augment: bool = False) -> dict:
         "gate": "quality",
         "smoke": smoke,
         "augment": augment,
+        "conditional": conditional,
         "passed": passed,
         "epochs": config.hp.epochs,
         "covariate_noise": COVARIATE_NOISE,
@@ -125,7 +131,8 @@ def main() -> None:
     from downgan_tpu.runtime import setup_cache
 
     setup_cache()
-    out = run(smoke, augment="--augment" in sys.argv)
+    out = run(smoke, augment="--augment" in sys.argv,
+              conditional="--conditional" in sys.argv)
     print(json.dumps(out))
     sys.exit(0 if out["passed"] else 1)
 

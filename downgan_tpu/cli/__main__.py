@@ -183,6 +183,20 @@ def cli() -> None:
 @click.option("--tensorboard", is_flag=True,
               help="Also log metrics/figures to TensorBoard under the run's "
               "artifact dir (tracking/tensorboard.py).")
+@click.option("--track-best", default=None, metavar="METRIC",
+              help="Model selection: after each epoch's test pass, if this "
+              "test metric (e.g. MSSSIM, MAE) improved, write the serving "
+              "weights (EMA when trained with hp.ema_decay, else live) as "
+              "a servable bundle under <artifacts>/best — loadable by "
+              "serve/generate/evaluate via --checkpoint alone.")
+@click.option("--best-mode", type=click.Choice(["max", "min"]), default=None,
+              help="Improvement direction for --track-best (default: max "
+              "for MSSSIM, min for error metrics).")
+@click.option("--critic-conditional/--no-critic-conditional", default=None,
+              help="Condition the critic on the covariates: every critic "
+              "input is the channel-concat of the fine field with the "
+              "nearest-upsampled coarse stack (cGAN-SR; the reference "
+              "critic is unconditional and this default preserves that).")
 def train(config_path, region, epochs, batch_size, lr, lr_schedule,
           lr_warmup_steps, lr_decay_steps, lr_final_factor, compute_dtype,
           augment_flips, grad_accum, schedule, synthetic, samples,
@@ -190,7 +204,8 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
           tracking_root, checkpoint_dir, resume, interactive, mesh, multihost,
           coordinator, num_processes, process_id, host_feed, stream,
           save_every, max_checkpoints, keep_every, print_every, plot_every,
-          eof_lambda, tensorboard) -> None:
+          eof_lambda, tensorboard, track_best, best_mode,
+          critic_conditional) -> None:
     """Train the WGAN-GP super-resolution model."""
     import dataclasses
 
@@ -234,6 +249,8 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         compute_dtype=compute_dtype, augment_flips=augment_flips,
         grad_accum=grad_accum, schedule=schedule, eof_lambda=eof_lambda,
     )
+    if critic_conditional is not None:
+        config = config.replace(critic_conditional=critic_conditional)
     if host_feed and stream:
         raise click.UsageError(
             "--host-feed and --stream are different residency tiers "
@@ -323,6 +340,7 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         plot_every=plot_every,
         tensorboard_dir=(os.path.join(run.artifact_dir, "tensorboard")
                          if tensorboard and run is not None else None),
+        track_best=track_best, best_mode=best_mode,
     )
     if resume:
         trainer.maybe_resume()
@@ -520,8 +538,10 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
     deploy step: ``serve`` / ``generate`` / ``evaluate`` load the bundle
     with just ``--checkpoint <out>`` (weights-only is auto-detected).
     """
-    from downgan_tpu.inference import restore_generator_params
-    from downgan_tpu.utils.checkpoint import save_params
+    from downgan_tpu.inference import (
+        restore_generator_params,
+        write_generator_bundle,
+    )
 
     config, checkpoint, _, bundle = _resolve_source_config(
         config_path, None, checkpoint, run_id, tracking_root)
@@ -529,11 +549,7 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
         raise click.UsageError(f"{checkpoint} is already an exported bundle")
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         use_ema=ema)
-    out = os.path.abspath(out)
-    os.makedirs(out, exist_ok=True)
-    save_params(os.path.join(out, "params"), g_params)
-    with open(os.path.join(out, "config.json"), "w") as f:
-        f.write(config.to_json())
+    out = write_generator_bundle(out, config, g_params)
     click.echo(f"exported {'EMA ' if ema else ''}generator bundle to {out}")
 
 

@@ -299,6 +299,18 @@ class Config:
     # reference's shipped model) or "srresnet" (the SRGAN-style variant the
     # reference carries as dead code, networks/generator.py:93-204).
     generator_arch: str = "rrdb"
+    # Conditional critic (beyond parity; default False = the reference's
+    # unconditional critic, which scores only the fine field and never
+    # sees the covariates — networks/critic.py:9-106, SURVEY §2 #4b).
+    # When True, every critic input is the channel-concat of the fine
+    # field with the nearest-upsampled coarse covariate stack, making the
+    # adversarial game conditional (the standard cGAN-SR formulation):
+    # the critic can then penalize fine fields that are plausible per se
+    # but inconsistent with their forcing. The gradient penalty
+    # interpolates the fine channels only (real and fake share the same
+    # condition, so the interpolated condition equals it) and the norm is
+    # taken over the full conditioned input — the cGAN-GP convention.
+    critic_conditional: bool = False
 
     # Wind-vector component positions in the channel stacks (u10, v10 lead
     # both stacks, COVARIATE_NAMES_ORDERED / FINE_NAMES_ORDERED) — consumed
@@ -320,6 +332,13 @@ class Config:
     @property
     def region_box(self) -> RegionBox:
         return REGIONS[self.region]
+
+    @property
+    def critic_in_channels(self) -> int:
+        """Critic input channel count: the predictands, plus the upsampled
+        covariate stack when ``critic_conditional``."""
+        return self.n_predictands + (
+            self.n_covariates if self.critic_conditional else 0)
 
     @property
     def num_upsample(self) -> int:

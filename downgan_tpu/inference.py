@@ -136,6 +136,26 @@ def restore_generator_params(
     return state.g_params
 
 
+def write_generator_bundle(out_dir: str, config: Config, g_params) -> str:
+    """Write a self-contained servable generator bundle: weights-only
+    ``<out>/params`` (Orbax) + ``<out>/config.json``.
+
+    The layout ``serve``/``generate``/``evaluate`` auto-detect from
+    ``--checkpoint`` alone (the TPU-native analogue of the reference's
+    weights-only per-epoch artifacts, ``mlflow_tools/mlflow_epoch.py:65-69``).
+    Used by the ``export`` CLI and the Trainer's best-checkpoint tracking.
+    Idempotent: re-saving over an existing bundle replaces it.
+    """
+    from downgan_tpu.utils.checkpoint import save_params
+
+    out = os.path.abspath(out_dir)
+    os.makedirs(out, exist_ok=True)
+    save_params(os.path.join(out, "params"), g_params)
+    with open(os.path.join(out, "config.json"), "w") as f:
+        f.write(config.to_json())
+    return out
+
+
 def generate_fields(
     config: Config,
     g_params,

@@ -115,6 +115,20 @@ def pixel_shuffle(x: jax.Array, factor: int = 2) -> jax.Array:
     return x.reshape(b, h * r, w * r, cout)
 
 
+def upsample_nearest(x: jax.Array, factor: int) -> jax.Array:
+    """Nearest-neighbour spatial upsample of an NHWC batch by an integer
+    factor: (B, H, W, C) -> (B, H*f, W*f, C).
+
+    Static-shape broadcast+reshape (no gather): XLA lowers it to a cheap
+    layout expansion. Used to lift the coarse covariate stack onto the
+    fine grid for the conditional critic (``Config.critic_conditional``).
+    """
+    b, h, w, c = x.shape
+    f = factor
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, f, w, f, c))
+    return x.reshape(b, h * f, w * f, c)
+
+
 def space_to_depth(x: jax.Array, factor: int = 2) -> jax.Array:
     """Inverse of :func:`pixel_shuffle` (same channel ordering)."""
     b, h, w, c = x.shape

@@ -371,6 +371,12 @@ def build_spatial_train_step(config: Config, mesh: Mesh, axis_name: str = "spati
 
     from downgan_tpu.training.wgan import build_train_step
 
+    if config.critic_conditional:
+        raise NotImplementedError(
+            "the spatially-sharded train step supports the reference's "
+            "unconditional critic only (the conditional critic's "
+            "upsampled-covariate concat is not halo-decomposed); train "
+            "critic_conditional models with the DP path")
     gen_apply = sharded_generator_apply(config, mesh, axis_name, jit=False)
     critic_apply = sharded_critic_apply(config, mesh, axis_name, jit=False)
     gen_shim = types.SimpleNamespace(apply=gen_apply)

@@ -114,7 +114,9 @@ def create_state(config: Config, rng: jax.Array) -> GANTrainState:
     gen, critic = make_models(config)
     g_rng, c_rng = jax.random.split(rng)
     coarse_shape = (1, config.coarse_size, config.coarse_size, config.n_covariates)
-    fine_shape = (1, config.fine_size, config.fine_size, config.n_predictands)
+    # critic_in_channels folds in the upsampled covariate stack when the
+    # conditional critic is on (config.critic_conditional).
+    fine_shape = (1, config.fine_size, config.fine_size, config.critic_in_channels)
     g_params = gen.init(g_rng, jnp.zeros(coarse_shape, jnp.float32))
     c_params = critic.init(c_rng, jnp.zeros(fine_shape, jnp.float32))
     tx = make_optimizer(config)

@@ -17,6 +17,8 @@ that Python owns only I/O and scheduling:
 """
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import Dict, Optional
 
@@ -77,6 +79,9 @@ class Trainer:
         eof_components=None,
         halt_on_nonfinite: bool = True,
         multihost: Optional[bool] = None,
+        track_best: Optional[str] = None,
+        best_mode: Optional[str] = None,
+        best_dir: Optional[str] = None,
     ):
         self.config = config
         self.train_ds = train
@@ -138,6 +143,44 @@ class Trainer:
         # whose mean metrics go non-finite, BEFORE checkpointing, so the
         # latest checkpoint on disk stays a good restore point.
         self.halt_on_nonfinite = halt_on_nonfinite
+
+        # Best-checkpoint tracking (model selection — no reference
+        # equivalent; the reference keeps every epoch and the user picks
+        # one by eye): after each test pass, if the tracked test metric
+        # improved, write the serving weights (EMA when hp.ema_decay > 0,
+        # else live) as a servable bundle at ``best_dir`` plus a
+        # ``best.json`` record. serve/generate/evaluate load it with just
+        # ``--checkpoint <best_dir>``.
+        self.track_best = track_best
+        self.best_value: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+        if track_best:
+            if test is None:
+                raise ValueError(
+                    "track_best selects on a TEST metric and needs a test "
+                    "dataset")
+            known = set(config.hp.metrics_to_calculate) | {
+                "critic_loss", "gen_loss", "Wass"}
+            if track_best not in known:
+                raise ValueError(
+                    f"track_best metric {track_best!r} is not produced by "
+                    f"this run's test pass; available: {sorted(known)}")
+            if best_mode is None:
+                # MS-SSIM is a similarity (higher = better); every other
+                # registry metric is an error/distance (lower = better).
+                best_mode = "max" if track_best.upper().startswith("MSSSIM") else "min"
+            if best_mode not in ("max", "min"):
+                raise ValueError(f"best_mode must be 'max' or 'min', got {best_mode!r}")
+            if best_dir is None and run is not None:
+                best_dir = os.path.join(run.artifact_dir, "best")
+            if best_dir is None and self._primary:
+                # Non-primary pod processes track the value only (they
+                # never write); the writing process must have a target.
+                raise ValueError(
+                    "track_best needs best_dir (or a tracked run whose "
+                    "artifact dir provides the default <artifacts>/best)")
+        self.best_mode = best_mode
+        self.best_dir = best_dir
 
         if config.hp.eof_lambda and eof_components is None:
             # Fit the EOF basis from the training fine fields at staging
@@ -358,6 +401,41 @@ class Trainer:
             n_batches += 1
         return {k: v / max(n_batches, 1) for k, v in sums.items()}
 
+    def _update_best(self, test_means: Dict[str, float]) -> None:
+        """Best-checkpoint tracking: on improvement of the tracked test
+        metric, write the serving weights as a bundle + best.json."""
+        val = test_means.get(self.track_best)
+        if val is None or not np.isfinite(val):
+            return
+        better = self.best_value is None or (
+            val > self.best_value if self.best_mode == "max" else val < self.best_value
+        )
+        if not better:
+            return
+        self.best_value = float(val)
+        self.best_epoch = self.epoch
+        if not self._primary:
+            return
+        from downgan_tpu.inference import write_generator_bundle
+
+        use_ema = self.state.g_ema is not None
+        params = self.state.g_ema if use_ema else self.state.g_params
+        # Host copy first: replicated arrays are fully addressable on
+        # every process, so process 0 can save alone without a collective.
+        host_params = jax.tree.map(np.asarray, params)
+        write_generator_bundle(self.best_dir, self.config, host_params)
+        with open(os.path.join(self.best_dir, "best.json"), "w") as f:
+            json.dump({
+                "metric": self.track_best,
+                "mode": self.best_mode,
+                "value": self.best_value,
+                "epoch": self.epoch,
+                "ema": use_ema,
+            }, f, indent=2)
+        if self.run is not None:
+            self.run.log_metrics(
+                {f"best_{self.track_best}_test": self.best_value}, step=self.epoch)
+
     def _log_epoch(self, split: str, means: Dict[str, float]) -> None:
         tagged = {f"{k}_{split}": v for k, v in means.items()}
         if self.tb is not None:
@@ -412,6 +490,8 @@ class Trainer:
             if self.test_ds is not None and len(self.test_ds) > 0:
                 test_means = self._run_test_pass()
                 self._log_epoch("test", test_means)
+                if self.track_best:
+                    self._update_best(test_means)
                 if self.epoch % self.plot_every == 0:
                     self._plot_split("test", self.test_ds)
 

@@ -74,6 +74,36 @@ def gradient_penalty(
     return jnp.mean(jnp.square(norms - 1.0))
 
 
+def make_condition(config: Config):
+    """Critic-input conditioning (``Config.critic_conditional``).
+
+    Returns ``condition(x, coarse) -> critic_input``: identity for the
+    reference's unconditional critic (networks/critic.py:9-106 never sees
+    the covariates), or the channel-concat of ``x`` with the
+    nearest-upsampled coarse stack for the conditional-critic variant.
+    Real and fake share the SAME condition, so the GP interpolation of two
+    conditioned inputs keeps the condition fixed (α·c + (1−α)·c = c) — the
+    standard cGAN-GP formulation, with the gradient norm taken over the
+    full conditioned input.
+    """
+    if not config.critic_conditional:
+        return lambda x, coarse: x
+    from downgan_tpu.models.layers import upsample_nearest
+
+    factor = config.fine_size // config.coarse_size
+    if factor * config.coarse_size != config.fine_size:
+        raise ValueError(
+            "critic_conditional requires fine_size to be an integer "
+            f"multiple of coarse_size (got {config.fine_size}/"
+            f"{config.coarse_size})")
+
+    def condition(x: jax.Array, coarse: jax.Array) -> jax.Array:
+        return jnp.concatenate(
+            [x, upsample_nearest(coarse, factor).astype(x.dtype)], axis=-1)
+
+    return condition
+
+
 def _critic_pair_means(
     c_apply: Callable[[Any, jax.Array], jax.Array],
     c_params: Any,
@@ -115,6 +145,7 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic,
     hp = config.hp
     g_apply = gen.apply
     c_apply = critic.apply
+    condition = make_condition(config)
 
     eof_comps = None
     if hp.eof_lambda:
@@ -146,10 +177,10 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic,
         if hp.freq_sep:
             fake_low, fake_high = split_bands(fake)
             real_low, _ = split_bands(fine)
-            adv = -jnp.mean(c_apply(c_params, fake_high)) * hp.gamma
+            adv = -jnp.mean(c_apply(c_params, condition(fake_high, coarse))) * hp.gamma
             content = hp.content_lambda * content_loss(fake_low, real_low)
         else:
-            adv = -jnp.mean(c_apply(c_params, fake)) * hp.gamma
+            adv = -jnp.mean(c_apply(c_params, condition(fake, coarse))) * hp.gamma
             content = hp.content_lambda * content_loss(fake, fine)
         loss = adv + content
         # optional physics regularizers (off at parity defaults)
@@ -244,6 +275,7 @@ def build_train_step(
 
     g_apply = gen.apply
     c_apply = critic.apply
+    condition = make_condition(config)
     split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(
         config, gen, critic, eof_components=eof_components
     )
@@ -272,6 +304,7 @@ def build_train_step(
             _, real_c = split_bands(fine)
         else:
             fake_c, real_c = fake, fine
+        fake_c, real_c = condition(fake_c, coarse), condition(real_c, coarse)
         if hp.grad_accum > 1:
             c_vag = _accum_value_and_grad(critic_loss_fn, hp.grad_accum,
                                           has_aux=True)
@@ -331,7 +364,8 @@ def build_train_step(
                 metrics[name] = fn(fine, fake_m)
             if "Wass" in hp.metrics_to_calculate:
                 m_real, m_fake = _critic_pair_means(
-                    c_apply, c_params, fine, fake_m, hp.fused_critic_pass
+                    c_apply, c_params, condition(fine, coarse),
+                    condition(fake_m, coarse), hp.fused_critic_pass
                 )
                 metrics["Wass"] = wass_loss(m_real, m_fake)
         return new_state, metrics
@@ -360,6 +394,7 @@ def build_fused_round(
     tx = make_optimizer(config)
     g_apply = gen.apply
     c_apply = critic.apply
+    condition = make_condition(config)
     split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(
         config, gen, critic, eof_components=eof_components
     )
@@ -397,6 +432,7 @@ def build_fused_round(
                 _, real_c = split_bands(fine)
             else:
                 fake_c, real_c = fake, fine
+            fake_c, real_c = condition(fake_c, coarse), condition(real_c, coarse)
             if hp.grad_accum > 1:
                 c_vag = _accum_value_and_grad(critic_loss_fn, hp.grad_accum,
                                               has_aux=True)
@@ -443,7 +479,8 @@ def build_fused_round(
                 metrics[name] = fn(g_fine, fake_m)
             if "Wass" in hp.metrics_to_calculate:
                 m_real, m_fake = _critic_pair_means(
-                    c_apply, c_params, g_fine, fake_m, hp.fused_critic_pass
+                    c_apply, c_params, condition(g_fine, g_coarse),
+                    condition(fake_m, g_coarse), hp.fused_critic_pass
                 )
                 metrics["Wass"] = wass_loss(m_real, m_fake)
         return new_state, metrics
@@ -458,6 +495,7 @@ def build_eval_metrics(
     generate fake and compute the metric registry, no parameter updates."""
 
     hp = config.hp
+    condition = make_condition(config)
 
     def eval_metrics(state: GANTrainState, coarse: jax.Array, fine: jax.Array) -> Metrics:
         fake = gen.apply(state.g_params, coarse)
@@ -466,7 +504,8 @@ def build_eval_metrics(
             out[name] = fn(fine, fake)
         if "Wass" in hp.metrics_to_calculate:
             c_real_mean, c_fake_mean = _critic_pair_means(
-                critic.apply, state.c_params, fine, fake, hp.fused_critic_pass
+                critic.apply, state.c_params, condition(fine, coarse),
+                condition(fake, coarse), hp.fused_critic_pass
             )
             out["Wass"] = wass_loss(c_real_mean, c_fake_mean)
         return out

@@ -370,3 +370,59 @@ def test_host_feed_dp_mesh_matches_device():
     for a, b in zip(jax.tree.leaves(t_dev.state.g_params),
                     jax.tree.leaves(t_host.state.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_track_best_writes_servable_bundle(tmp_path):
+    """Best-checkpoint tracking: the best-by-test-metric epoch's serving
+    weights land in a bundle that the weights-only restore path loads."""
+    import csv
+    import json
+
+    from downgan_tpu.inference import restore_generator_params
+
+    config = tiny_config(ema_decay=0.5)  # EMA on: the bundle holds EMA weights
+    train_ds, test_ds = tiny_datasets(config)
+    store = TrackingStore(str(tmp_path / "exps"))
+    run = store.create_run(store.create_experiment("t")).start()
+
+    trainer = Trainer(config, train_ds, test_ds, run=run, verbose=False,
+                      track_best="MAE")
+    trainer.train(epochs=3)
+
+    best_dir = os.path.join(run.artifact_dir, "best")
+    with open(os.path.join(best_dir, "best.json")) as f:
+        best = json.load(f)
+    assert best["metric"] == "MAE" and best["mode"] == "min" and best["ema"]
+
+    # best.json agrees with the logged per-epoch test CSV
+    with open(run.artifact_path("test_metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    maes = [float(r["MAE"]) for r in rows]
+    assert best["epoch"] == int(np.argmin(maes))
+    assert best["value"] == pytest.approx(min(maes))
+
+    # the bundle is servable: weights-only restore + forward pass
+    params = restore_generator_params(config, os.path.join(best_dir, "params"),
+                                      weights_only=True)
+    from downgan_tpu.training.state import make_models
+    gen, _ = make_models(config)
+    out = gen.apply(params, np.zeros(
+        (1, config.coarse_size, config.coarse_size, config.n_covariates),
+        np.float32))
+    assert out.shape == (1, config.fine_size, config.fine_size,
+                         config.n_predictands)
+    # tracker carries the improvement trace
+    assert run.metric_history("best_MAE_test")
+
+
+def test_track_best_validation():
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+    with pytest.raises(ValueError, match="test"):
+        Trainer(config, train_ds, None, verbose=False, track_best="MAE",
+                best_dir="x")
+    with pytest.raises(ValueError, match="not produced"):
+        Trainer(config, train_ds, test_ds, verbose=False, track_best="MSSSIM",
+                best_dir="x")
+    with pytest.raises(ValueError, match="best_dir"):
+        Trainer(config, train_ds, test_ds, verbose=False, track_best="MAE")

@@ -376,3 +376,77 @@ def test_hyperparams_cadence_validation():
         HyperParams(print_every=0)
     with pytest.raises(ValueError, match="print_every"):
         HyperParams(save_every=-1)
+
+
+def test_upsample_nearest_semantics():
+    from downgan_tpu.models.layers import upsample_nearest
+
+    x = jnp.arange(8, dtype=jnp.float32).reshape(1, 2, 2, 2)
+    up = np.asarray(upsample_nearest(x, 2))
+    assert up.shape == (1, 4, 4, 2)
+    # each coarse cell tiles its 2x2 fine block, channels untouched
+    for i in range(4):
+        for j in range(4):
+            np.testing.assert_array_equal(up[0, i, j], np.asarray(x)[0, i // 2, j // 2])
+
+
+def test_conditional_critic_trains_and_differs():
+    """critic_conditional=True (beyond parity — the reference critic never
+    sees the covariates, networks/critic.py:9-106): the critic scores
+    (fine ++ upsampled coarse), so conv0 grows by n_covariates input
+    channels and updates must differ from the unconditional trainer."""
+    from downgan_tpu.training.state import param_count
+    from downgan_tpu.training.wgan import build_eval_metrics, make_condition
+
+    rng = jax.random.PRNGKey(0)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 2))
+
+    counts, outs = {}, {}
+    for cond in (False, True):
+        config = tiny_config().replace(critic_conditional=cond)
+        gen, critic = make_models(config)
+        state = create_state(config, jax.random.PRNGKey(0))
+        counts[cond] = param_count(state.c_params)
+        step = jax.jit(build_train_step(config, gen, critic))
+        for _ in range(6):  # crosses a G update (step 0 and 5)
+            state, metrics = step(state, coarse, fine, rng)
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        ev = jax.jit(build_eval_metrics(config, gen, critic))(state, coarse, fine)
+        assert np.isfinite(float(ev["Wass"]))
+        outs[cond] = jax.tree.leaves(state.g_params)[0]
+    # conv0 kernel grows by 3*3*n_covariates*filters exactly
+    assert counts[True] - counts[False] == 3 * 3 * 7 * 8
+    # the adversarial term (gamma=0.01) is small after 2 G updates, so
+    # assert the trajectories actually diverged (bit-level), not a large gap
+    assert not np.array_equal(np.asarray(outs[False]), np.asarray(outs[True]))
+
+    # conditioning concat shape + identity when off
+    config = tiny_config().replace(critic_conditional=True)
+    c = make_condition(config)(fine, coarse)
+    assert c.shape == (4, 32, 32, 9)
+    config = tiny_config()
+    assert make_condition(config)(fine, coarse) is fine
+
+
+def test_conditional_critic_fused_schedule_runs():
+    from downgan_tpu.training.wgan import build_fused_round
+
+    config = tiny_config(schedule="fused", critic_iterations=2).replace(
+        critic_conditional=True)
+    gen, critic = make_models(config)
+    state = create_state(config, jax.random.PRNGKey(0))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 32, 32, 2))
+    step = jax.jit(build_fused_round(config, gen, critic))
+    state, metrics = step(state, coarse, fine, jax.random.PRNGKey(3))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_spatial_rejects_conditional_critic():
+    from downgan_tpu.parallel.mesh import make_mesh
+    from downgan_tpu.parallel.spatial import build_spatial_train_step
+
+    config = tiny_config().replace(critic_conditional=True)
+    with pytest.raises(NotImplementedError, match="unconditional"):
+        build_spatial_train_step(config, make_mesh())
