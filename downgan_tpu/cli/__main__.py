@@ -418,18 +418,31 @@ def prepare_data(config_path, region) -> None:
 @click.option("--tiles-per-dispatch", type=int, default=8,
               help="Tiles folded into one device dispatch (amortizes the "
               "host fetch round-trip).")
+@click.option("--ensemble", type=int, default=0,
+              help="Probabilistic downscaling: generate this many ensemble "
+              "members from a stochastic generator (trained with "
+              "Config.noise_channels > 0); the output NetCDF gains a "
+              "leading `member` dimension. Incompatible with tiling.")
 def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
              weights_only, ema, out, synthetic, raw_covariates, subset, samples,
-             tile_rows, overlap, tile_cols, tiles_per_dispatch) -> None:
+             tile_rows, overlap, tile_cols, tiles_per_dispatch,
+             ensemble) -> None:
     """Generate super-resolved fields from a trained checkpoint and write
     them to NetCDF (parity with helpers/gen_fake_ds.py)."""
     from downgan_tpu.data.staging import load_preprocessed
     from downgan_tpu.inference import (
+        generate_ensemble,
         generate_fields,
         rebuild_coarse_covariates,
         restore_generator_params,
         write_generated_netcdf,
     )
+
+    if ensemble and tile_rows:
+        raise click.UsageError(
+            "--ensemble and --tile-rows are mutually exclusive (tiled "
+            "domains generate one member per call; loop members with "
+            "different runs if needed)")
 
     config, checkpoint, run, bundle = _resolve_source_config(
         config_path, region, checkpoint, run_id, tracking_root)
@@ -492,6 +505,8 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
                                     tile_cols=tile_cols,
                                     tiles_per_dispatch=tiles_per_dispatch,
                                     mesh=mesh)
+    elif ensemble:
+        fields = generate_ensemble(config, g_params, coarse, ensemble)
     else:
         fields = generate_fields(config, g_params, coarse)
     import numpy as np
@@ -503,13 +518,15 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     # Attach true coords only when their lengths match the generated grid
     # (a model whose upsample ratio differs from the data scale_factor
     # produces a different fine size; fall back to index coords then).
-    if lats is not None and len(lats) != fields.shape[1]:
+    if lats is not None and len(lats) != fields.shape[-3]:
         lats = None
-    if lons is not None and len(lons) != fields.shape[2]:
+    if lons is not None and len(lons) != fields.shape[-2]:
         lons = None
     write_generated_netcdf(out, fields, var_names=("u10", "v10"), times=times,
                            lats=lats, lons=lons)
-    click.echo(f"wrote {fields.shape[0]} generated fields to {out}")
+    what = (f"{fields.shape[1]} generated fields x {fields.shape[0]} members"
+            if fields.ndim == 5 else f"{fields.shape[0]} generated fields")
+    click.echo(f"wrote {what} to {out}")
 
 
 @cli.command("export")

@@ -299,6 +299,18 @@ class Config:
     # reference's shipped model) or "srresnet" (the SRGAN-style variant the
     # reference carries as dead code, networks/generator.py:93-204).
     generator_arch: str = "rrdb"
+    # Stochastic generator (beyond parity; default 0 = the reference's
+    # deterministic generator): append this many channels of iid N(0,1)
+    # noise to the generator input at the coarse resolution, drawn fresh
+    # per forward inside the jitted step. Gives the GAN latent degrees of
+    # freedom for the unresolved small scales, turning inference into
+    # probabilistic downscaling: `generate --ensemble K` draws K members
+    # from one trained model (the standard stochastic-SR formulation for
+    # climate fields). Evaluation/plots use a FIXED noise realization
+    # (seeded from config.seed) so epoch-over-epoch metrics compare like
+    # for like; the critic and all losses are unchanged — only the
+    # generator's input widens.
+    noise_channels: int = 0
     # Conditional critic (beyond parity; default False = the reference's
     # unconditional critic, which scores only the fine field and never
     # sees the covariates — networks/critic.py:9-106, SURVEY §2 #4b).
@@ -332,6 +344,12 @@ class Config:
     @property
     def region_box(self) -> RegionBox:
         return REGIONS[self.region]
+
+    @property
+    def generator_in_channels(self) -> int:
+        """Generator input channel count: covariates plus the stochastic
+        noise channels when ``noise_channels > 0``."""
+        return self.n_covariates + self.noise_channels
 
     @property
     def critic_in_channels(self) -> int:

@@ -161,6 +161,7 @@ def generate_fields(
     g_params,
     coarse: np.ndarray,
     chunk_size: int = 0,
+    member: int = 0,
 ) -> np.ndarray:
     """Run (N, h, w, C) coarse covariates -> (N, H, W, P) generated fields.
 
@@ -168,20 +169,58 @@ def generate_fields(
     with a fixed chunk size so one compiled program serves every chunk;
     the ragged tail is padded to the chunk size and trimmed after.
     ``chunk_size=0`` uses ``config.chunk_size``.
+
+    Stochastic generators (``config.noise_channels > 0``) draw one latent
+    per sample, deterministically from ``(config.seed, member, chunk)`` —
+    the same call reproduces bit-identically, and distinct ``member``
+    values give independent ensemble members (see
+    :func:`generate_ensemble`). Deterministic configs ignore ``member``.
     """
+    from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
+
     gen, _ = make_models(config)
-    fwd = jax.jit(gen.apply)
+    inject = make_noise_injector(config)
+    member_rng = jax.random.fold_in(eval_noise_rng(config), member)
+    fwd = jax.jit(
+        lambda params, x, rng: gen.apply(params, inject(rng, x)))
     chunk = chunk_size or config.chunk_size
     n = coarse.shape[0]
     outs = []
-    for start in range(0, n, chunk):
+    for i, start in enumerate(range(0, n, chunk)):
         block = coarse[start : start + chunk]
         pad = chunk - block.shape[0]
         if pad:
             block = np.concatenate([block, np.zeros((pad, *block.shape[1:]), block.dtype)])
-        fake = np.asarray(fwd(g_params, jnp.asarray(block, jnp.float32)))
+        fake = np.asarray(fwd(g_params, jnp.asarray(block, jnp.float32),
+                              jax.random.fold_in(member_rng, i)))
         outs.append(fake[: chunk - pad] if pad else fake)
     return np.concatenate(outs, axis=0)
+
+
+def generate_ensemble(
+    config: Config,
+    g_params,
+    coarse: np.ndarray,
+    n_members: int,
+    chunk_size: int = 0,
+) -> np.ndarray:
+    """Probabilistic downscaling: (M, N, H, W, P) stack of ``n_members``
+    independent ensemble members from one stochastic generator
+    (``config.noise_channels > 0``) — each member is
+    :func:`generate_fields` with its own latent stream. No reference
+    equivalent (the reference generator is deterministic,
+    ``networks/generator.py:83-90``)."""
+    if config.noise_channels <= 0:
+        raise ValueError(
+            "ensemble generation needs a stochastic generator: train with "
+            "Config.noise_channels > 0 (a deterministic generator returns "
+            "identical members)")
+    return np.stack(
+        [generate_fields(config, g_params, coarse, chunk_size=chunk_size,
+                         member=m)
+         for m in range(n_members)],
+        axis=0,
+    )
 
 
 def write_generated_netcdf(
@@ -195,14 +234,23 @@ def write_generated_netcdf(
 ) -> None:
     """Write generated (N, H, W, P) fields as a NetCDF of per-variable
     (time, lat, lon) arrays (parity with ``gen_fake_ds.py:162``'s chunked
-    ``to_netcdf``)."""
-    n, h, w, p = fields.shape
+    ``to_netcdf``). An ensemble stack (M, N, H, W, P) from
+    :func:`generate_ensemble` gains a leading ``member`` dimension."""
+    ensemble = fields.ndim == 5
+    if ensemble:
+        m, n, h, w, p = fields.shape
+    else:
+        n, h, w, p = fields.shape
     coords: Dict[str, np.ndarray] = {
         "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),
         "lat": np.arange(h, dtype=np.float64) if lats is None else np.asarray(lats),
         "lon": np.arange(w, dtype=np.float64) if lons is None else np.asarray(lons),
     }
+    if ensemble:
+        coords["member"] = np.arange(m, dtype=np.float64)
     variables = {name: fields[..., i] for i, name in enumerate(var_names[:p])}
-    dims = {name: ("time", "lat", "lon") for name in variables}
-    chunks = {name: (min(time_chunk, n), h, w) for name in variables}
+    base_dims = ("member", "time", "lat", "lon") if ensemble else ("time", "lat", "lon")
+    dims = {name: base_dims for name in variables}
+    chunk = (min(time_chunk, n), h, w)
+    chunks = {name: ((1, *chunk) if ensemble else chunk) for name in variables}
     write_netcdf(path, variables, dims, coords=coords, chunks=chunks)

@@ -235,6 +235,16 @@ def tiled_sr_inference(
     # differ from the model ratio on non-florida configs.
     sf = 2 ** config.num_upsample
     b, h, w, c = coarse.shape
+    if config.noise_channels and c == config.n_covariates:
+        # Stochastic generator: draw ONE whole-domain latent (the fixed
+        # eval realization — deterministic per call) and append it BEFORE
+        # tiling, so overlapping tiles see identical noise in their shared
+        # cells and stitch seamlessly. Callers may also pre-append their
+        # own (b, h, w, noise_channels) latent for ensemble members.
+        z_rng = np.random.default_rng((config.seed, 0x5E11))
+        z = z_rng.standard_normal(
+            (b, h, w, config.noise_channels)).astype(coarse.dtype)
+        coarse = np.concatenate([coarse, z], axis=-1)
     band_h = tile_rows + 2 * overlap
     band_w = tile_cols + 2 * overlap if tile_cols else w
     keep_h = min(tile_rows, h) * sf

@@ -58,7 +58,15 @@ class SRModel:
         self.config = config
         self.batch = batch_size or config.chunk_size
         gen, _ = make_models(config)
-        self._fwd = jax.jit(gen.apply)
+        # Stochastic generators serve the FIXED eval noise realization
+        # (wgan.eval_noise_rng): responses are deterministic — the same
+        # request always returns the same fields. Ensemble draws are an
+        # offline workflow (`generate --ensemble`), not a serving concern.
+        from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
+
+        _inject = make_noise_injector(config)
+        _rng = eval_noise_rng(config)
+        self._fwd = jax.jit(lambda p, x: gen.apply(p, _inject(_rng, x)))
         # Multi-chip domain inference: tiles shard over the mesh's data
         # axis (parallel.spatial.tiled_sr_inference(mesh=...)). The
         # fixed-batch patch path stays single-program — its batches are

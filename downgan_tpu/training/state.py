@@ -113,9 +113,11 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
 def create_state(config: Config, rng: jax.Array) -> GANTrainState:
     gen, critic = make_models(config)
     g_rng, c_rng = jax.random.split(rng)
-    coarse_shape = (1, config.coarse_size, config.coarse_size, config.n_covariates)
-    # critic_in_channels folds in the upsampled covariate stack when the
-    # conditional critic is on (config.critic_conditional).
+    # generator_in_channels folds in the stochastic noise channels
+    # (config.noise_channels); critic_in_channels the upsampled covariate
+    # stack when the conditional critic is on (config.critic_conditional).
+    coarse_shape = (1, config.coarse_size, config.coarse_size,
+                    config.generator_in_channels)
     fine_shape = (1, config.fine_size, config.fine_size, config.critic_in_channels)
     g_params = gen.init(g_rng, jnp.zeros(coarse_shape, jnp.float32))
     c_params = critic.init(c_rng, jnp.zeros(fine_shape, jnp.float32))

@@ -239,7 +239,14 @@ class Trainer:
             )
         self._eval_fn = jax.jit(build_eval_metrics(config, self.gen, self.critic))
         self._eval_scan = jax.jit(build_eval_scan(config, self.gen, self.critic))
-        self._gen_fwd = jax.jit(lambda params, x: self.gen.apply(params, x))
+        # Plot/grid forward; stochastic generators use the same fixed
+        # noise realization as the eval pass (wgan.eval_noise_rng).
+        from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
+
+        _inject = make_noise_injector(config)
+        _fixed = eval_noise_rng(config)
+        self._gen_fwd = jax.jit(
+            lambda params, x: self.gen.apply(params, _inject(_fixed, x)))
 
     # -- resume --------------------------------------------------------
     def maybe_resume(self) -> bool:

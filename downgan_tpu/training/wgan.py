@@ -74,6 +74,40 @@ def gradient_penalty(
     return jnp.mean(jnp.square(norms - 1.0))
 
 
+def make_noise_injector(config: Config):
+    """Stochastic-generator input prep (``Config.noise_channels``).
+
+    Returns ``inject(rng, coarse) -> generator_input``: identity for the
+    reference's deterministic generator, or the channel-concat of the
+    coarse stack with ``noise_channels`` of iid N(0,1) drawn from ``rng``
+    at the coarse resolution. The latent gives the GAN degrees of freedom
+    for the unresolved small scales (probabilistic downscaling); losses,
+    critic and metrics are computed on the generated field exactly as in
+    the deterministic model.
+    """
+    k = config.noise_channels
+    if k < 0:
+        raise ValueError(f"noise_channels must be >= 0, got {k}")
+    if not k:
+        return lambda rng, coarse: coarse
+
+    def inject(rng: jax.Array, coarse: jax.Array) -> jax.Array:
+        b, h, w, _ = coarse.shape
+        z = jax.random.normal(rng, (b, h, w, k), coarse.dtype)
+        return jnp.concatenate([coarse, z], axis=-1)
+
+    return inject
+
+
+def eval_noise_rng(config: Config) -> jax.Array:
+    """The FIXED noise key evaluation/plots/serving use for stochastic
+    generators: one deterministic realization (seeded from config.seed),
+    so epoch-over-epoch metrics and repeated requests compare like for
+    like. Training draws fresh noise per step; ensembles fold member
+    indices into this key."""
+    return jax.random.fold_in(jax.random.PRNGKey(config.seed), 0x5e11)
+
+
 def make_condition(config: Config):
     """Critic-input conditioning (``Config.critic_conditional``).
 
@@ -170,17 +204,23 @@ def make_loss_fns(config: Config, gen: Generator, critic: Critic,
         loss = c_fake_mean - c_real_mean + hp.effective_gp_weight * gp
         return loss, (c_real_mean, c_fake_mean)
 
+    n_cov = config.n_covariates
+
     def gen_loss_fn(
         g_params: Any, c_params: Any, coarse: jax.Array, fine: jax.Array
     ) -> jax.Array:
+        # ``coarse`` is the GENERATOR input (noise channels appended when
+        # config.noise_channels > 0); the critic condition sees only the
+        # true covariates (a full slice — elided by XLA — when noise is off).
+        cov = coarse[..., :n_cov]
         fake = g_apply(g_params, coarse)
         if hp.freq_sep:
             fake_low, fake_high = split_bands(fake)
             real_low, _ = split_bands(fine)
-            adv = -jnp.mean(c_apply(c_params, condition(fake_high, coarse))) * hp.gamma
+            adv = -jnp.mean(c_apply(c_params, condition(fake_high, cov))) * hp.gamma
             content = hp.content_lambda * content_loss(fake_low, real_low)
         else:
-            adv = -jnp.mean(c_apply(c_params, condition(fake, coarse))) * hp.gamma
+            adv = -jnp.mean(c_apply(c_params, condition(fake, cov))) * hp.gamma
             content = hp.content_lambda * content_loss(fake, fine)
         loss = adv + content
         # optional physics regularizers (off at parity defaults)
@@ -276,6 +316,7 @@ def build_train_step(
     g_apply = gen.apply
     c_apply = critic.apply
     condition = make_condition(config)
+    inject = make_noise_injector(config)
     split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(
         config, gen, critic, eof_components=eof_components
     )
@@ -296,9 +337,15 @@ def build_train_step(
             coarse, fine = augment(
                 jax.random.fold_in(alpha_rng, 1), coarse, fine)
         alpha = jax.random.uniform(alpha_rng, (fine.shape[0], 1, 1, 1), jnp.float32)
+        # Stochastic generator: fresh latent per G forward (distinct
+        # streams for the critic-update fake, the G update, and the metric
+        # pass). Identity when noise_channels == 0.
+        noise_rng = jax.random.fold_in(alpha_rng, 2)
 
         # ---- critic update (gradients do not flow into G: stop_gradient)
-        fake = lax.stop_gradient(g_apply(state.g_params, coarse))
+        fake = lax.stop_gradient(
+            g_apply(state.g_params,
+                    inject(jax.random.fold_in(noise_rng, 0), coarse)))
         if hp.freq_sep:
             _, fake_c = split_bands(fake)
             _, real_c = split_bands(fine)
@@ -317,14 +364,15 @@ def build_train_step(
 
         # ---- generator update on the reference schedule (incl. step 0)
         def g_update(_: None):
+            coarse_g = inject(jax.random.fold_in(noise_rng, 1), coarse)
             if hp.grad_accum > 1:
                 g_loss, g_grads = _accum_value_and_grad(
                     lambda p, c, f: gen_loss_fn(p, c_params, c, f),
                     hp.grad_accum, has_aux=False,
-                )(state.g_params, coarse, fine)
+                )(state.g_params, coarse_g, fine)
             else:
                 g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
-                    state.g_params, c_params, coarse, fine
+                    state.g_params, c_params, coarse_g, fine
                 )
             g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
             new_g = optax.apply_updates(state.g_params, g_updates)
@@ -359,7 +407,8 @@ def build_train_step(
             # the metric set is the hp.metrics_to_calculate registry. The
             # metrics_reuse_fake fast path reuses the critic-update fake
             # (saves a third G forward per step).
-            fake_m = fake if hp.metrics_reuse_fake else g_apply(g_params, coarse)
+            fake_m = fake if hp.metrics_reuse_fake else g_apply(
+                g_params, inject(jax.random.fold_in(noise_rng, 2), coarse))
             for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
                 metrics[name] = fn(fine, fake_m)
             if "Wass" in hp.metrics_to_calculate:
@@ -395,6 +444,7 @@ def build_fused_round(
     g_apply = gen.apply
     c_apply = critic.apply
     condition = make_condition(config)
+    inject = make_noise_injector(config)
     split_bands, critic_loss_fn, gen_loss_fn = make_loss_fns(
         config, gen, critic, eof_components=eof_components
     )
@@ -426,7 +476,10 @@ def build_fused_round(
             alpha = jax.random.uniform(
                 jax.random.fold_in(rng, step), (fine.shape[0], 1, 1, 1), jnp.float32
             )
-            fake = lax.stop_gradient(g_apply(state.g_params, coarse))
+            fake = lax.stop_gradient(g_apply(
+                state.g_params,
+                inject(jax.random.fold_in(jax.random.fold_in(rng, step), 2),
+                       coarse)))
             if hp.freq_sep:
                 _, fake_c = split_bands(fake)
                 _, real_c = split_bands(fine)
@@ -451,14 +504,16 @@ def build_fused_round(
         )
 
         g_coarse, g_fine = coarse_n[-1], fine_n[-1]
+        g_coarse_in = inject(jax.random.fold_in(jax.random.fold_in(rng, step), 3),
+                             g_coarse)
         if hp.grad_accum > 1:
             g_loss, g_grads = _accum_value_and_grad(
                 lambda p, c, f: gen_loss_fn(p, c_params, c, f),
                 hp.grad_accum, has_aux=False,
-            )(state.g_params, g_coarse, g_fine)
+            )(state.g_params, g_coarse_in, g_fine)
         else:
             g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
-                state.g_params, c_params, g_coarse, g_fine
+                state.g_params, c_params, g_coarse_in, g_fine
             )
         g_updates, g_opt_state = tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -474,7 +529,8 @@ def build_fused_round(
             "Wass": wass_loss(jnp.mean(c_reals), jnp.mean(c_fakes)),
         }
         if with_metrics:
-            fake_m = g_apply(g_params, g_coarse)
+            fake_m = g_apply(g_params, inject(
+                jax.random.fold_in(jax.random.fold_in(rng, step), 4), g_coarse))
             for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
                 metrics[name] = fn(g_fine, fake_m)
             if "Wass" in hp.metrics_to_calculate:
@@ -496,9 +552,14 @@ def build_eval_metrics(
 
     hp = config.hp
     condition = make_condition(config)
+    inject = make_noise_injector(config)
+    fixed_rng = eval_noise_rng(config)
 
     def eval_metrics(state: GANTrainState, coarse: jax.Array, fine: jax.Array) -> Metrics:
-        fake = gen.apply(state.g_params, coarse)
+        # Stochastic generators evaluate on ONE fixed noise realization
+        # (eval_noise_rng) so the test pass is deterministic and epoch
+        # metrics compare like for like.
+        fake = gen.apply(state.g_params, inject(fixed_rng, coarse))
         out: Metrics = {}
         for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
             out[name] = fn(fine, fake)
