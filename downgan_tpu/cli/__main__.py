@@ -664,8 +664,13 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
               help="Checkpoint holds bare generator params (like generate/"
               "serve). The Wass metric needs the critic and is dropped "
               "with a warning in this mode.")
+@click.option("--ensemble", type=int, default=0,
+              help="Probabilistic verification for stochastic generators "
+              "(Config.noise_channels > 0): also score a K-member ensemble "
+              "— fair CRPS, spread, ensemble-mean MAE (ops.ensemble).")
 def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
-             synthetic, samples, split, out, ema, weights_only) -> None:
+             synthetic, samples, split, out, ema, weights_only,
+             ensemble) -> None:
     """Standalone test-set metric pass from a checkpoint: the metric
     registry (hp.metrics_to_calculate) over a whole split — full batches
     as one compiled scan plus the ragged tail as its own batch, so every
@@ -749,6 +754,21 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     means = {k: round(v / max(n_batches, 1), 6) for k, v in sums.items()}
     result = {"split": "synthetic" if synthetic else split,
               "n_samples": n, "step": int(state.step), **means}
+    if ensemble:
+        if config.noise_channels <= 0:
+            raise click.UsageError(
+                "--ensemble needs a stochastic generator (trained with "
+                "Config.noise_channels > 0); this model is deterministic")
+        from downgan_tpu.inference import ensemble_metrics
+
+        host_coarse = np.asarray(ds.host_coarse if ds.host_coarse is not None
+                                 else ds.coarse)
+        host_fine = np.asarray(ds.host_fine if ds.host_fine is not None
+                               else ds.fine)
+        ens = ensemble_metrics(config, state.g_params, host_coarse, host_fine,
+                               ensemble)
+        result.update({k: (round(v, 6) if isinstance(v, float) else v)
+                       for k, v in ens.items()})
     line = json.dumps(result)
     if out:
         with open(out, "w") as f:

@@ -223,6 +223,33 @@ def generate_ensemble(
     )
 
 
+def ensemble_metrics(
+    config: Config,
+    g_params,
+    coarse: np.ndarray,
+    fine: np.ndarray,
+    n_members: int,
+    chunk_size: int = 0,
+) -> Dict[str, float]:
+    """Probabilistic verification of a stochastic generator on a split:
+    fair CRPS (ops.ensemble), mean ensemble spread, and the ensemble-mean
+    MAE next to the single-member MAE (member 0 — the fixed realization a
+    deterministic evaluation would score). CRPS < single-member MAE means
+    the latent spread carries information."""
+    from downgan_tpu.ops.ensemble import crps_ensemble, ensemble_spread
+
+    members = generate_ensemble(config, g_params, coarse, n_members,
+                                chunk_size=chunk_size)
+    fine = np.asarray(fine, np.float32)
+    return {
+        "CRPS": float(crps_ensemble(members, fine)),
+        "spread": float(ensemble_spread(members)),
+        "ens_mean_MAE": float(np.mean(np.abs(members.mean(axis=0) - fine))),
+        "member_MAE": float(np.mean(np.abs(members[0] - fine))),
+        "n_members": n_members,
+    }
+
+
 def write_generated_netcdf(
     path: str,
     fields: np.ndarray,
