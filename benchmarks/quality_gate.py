@@ -25,6 +25,11 @@ Usage:
   python benchmarks/quality_gate.py --conditional  # same budget with the
       conditional critic ON (Config.critic_conditional ablation receipt;
       thresholds still asserted)
+  python benchmarks/quality_gate.py --stochastic   # same budget with a
+      stochastic generator (Config.noise_channels=4): thresholds asserted
+      on the fixed-realization metrics, plus a probabilistic report —
+      fair CRPS / spread / ensemble-mean MAE over an 8-member test
+      ensemble (CRPS <= member MAE is the informative-spread check)
 
 Prints one JSON line ``{"gate": "quality", "passed": bool, ...}`` and
 exits non-zero on failure, so it drops into any CI with TPU runners as a
@@ -60,7 +65,8 @@ THRESHOLDS = {
 }
 
 
-def run(smoke: bool, augment: bool = False, conditional: bool = False) -> dict:
+def run(smoke: bool, augment: bool = False, conditional: bool = False,
+        stochastic: bool = False) -> dict:
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.trainer import Trainer
@@ -70,6 +76,7 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False) -> dict:
         # >=128 px, so the spectral/structural metrics drop out), 2 epochs.
         config = Config(
             coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+            noise_channels=2 if stochastic else 0,
             hp=HyperParams(batch_size=8, epochs=2,
                            metrics_to_calculate=("MAE", "MSE", "Wass")),
         )
@@ -77,6 +84,7 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False) -> dict:
     else:
         config = Config(
             critic_conditional=conditional,
+            noise_channels=4 if stochastic else 0,
             hp=HyperParams(
                 batch_size=BATCH,
                 epochs=EPOCHS,
@@ -100,6 +108,18 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False) -> dict:
     test_m = {f"{k}_test": round(float(v), 4)
               for k, v in trainer._run_test_pass().items()}
 
+    ens_report = None
+    if stochastic:
+        import numpy as np
+
+        from downgan_tpu.inference import ensemble_metrics
+
+        ens_report = {k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in ensemble_metrics(
+                          trainer.config, trainer.state.g_params,
+                          np.asarray(test_ds.coarse), np.asarray(test_ds.fine),
+                          n_members=3 if smoke else 8).items()}
+
     checks = {}
     passed = True
     thresholds = {} if smoke else THRESHOLDS
@@ -109,17 +129,21 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False) -> dict:
         checks[key] = {"value": val, "op": op, "bound": bound, "ok": ok}
         passed = passed and ok
 
-    return {
+    out = {
         "gate": "quality",
         "smoke": smoke,
         "augment": augment,
         "conditional": conditional,
+        "stochastic": stochastic,
         "passed": passed,
         "epochs": config.hp.epochs,
         "covariate_noise": COVARIATE_NOISE,
         "metrics": test_m,
         "checks": checks,
     }
+    if ens_report is not None:
+        out["ensemble"] = ens_report
+    return out
 
 
 def main() -> None:
@@ -132,7 +156,8 @@ def main() -> None:
 
     setup_cache()
     out = run(smoke, augment="--augment" in sys.argv,
-              conditional="--conditional" in sys.argv)
+              conditional="--conditional" in sys.argv,
+              stochastic="--stochastic" in sys.argv)
     print(json.dumps(out))
     sys.exit(0 if out["passed"] else 1)
 

@@ -35,6 +35,25 @@ def test_quality_gate_smoke():
     assert rec["metrics"]["Wass_test"] == rec["metrics"]["Wass_test"]  # not NaN
 
 
+def test_quality_gate_smoke_stochastic():
+    """--stochastic trains a noise-conditioned generator and appends the
+    probabilistic report (fair CRPS / spread / ensemble-mean MAE)."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, GATE, "--smoke", "--stochastic"], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["stochastic"] is True
+    ens = rec["ensemble"]
+    assert ens["n_members"] == 3
+    # a noise-conditioned generator yields distinct members -> positive spread
+    assert ens["spread"] > 0
+    assert ens["CRPS"] > 0 and ens["member_MAE"] > 0
+
+
 def test_stream_bench_smoke():
     """The data-residency throughput harness (benchmarks/stream_bench.py)
     runs all three tiers end-to-end in smoke mode."""
