@@ -679,7 +679,6 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     import dataclasses
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
@@ -732,28 +731,15 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
                     "--ema requires an EMA-trained run (hp.ema_decay > 0)")
             state = state.replace(g_params=state.g_ema)
 
-    bs = config.hp.batch_size
-    n = len(ds)
-    perm = ds.epoch_perm(np.random.default_rng(config.seed), bs, shuffle=False)
-    sums: dict = {}
-    n_batches = 0
-    if len(perm):
-        stacked = jax.jit(build_eval_scan(config, gen, critic))(
-            state, ds.coarse, ds.fine, jnp.asarray(perm)
-        )
-        sums = {k: float(jnp.sum(v)) for k, v in stacked.items()}
-        n_batches = len(perm)
-    tail = np.arange(len(perm) * bs, n)
-    if tail.size:
-        ev = jax.jit(build_eval_metrics(config, gen, critic))
-        sel = jnp.asarray(tail)
-        for k, v in ev(state, jnp.take(ds.coarse, sel, axis=0),
-                       jnp.take(ds.fine, sel, axis=0)).items():
-            sums[k] = sums.get(k, 0.0) + float(v)
-        n_batches += 1
-    means = {k: round(v / max(n_batches, 1), 6) for k, v in sums.items()}
+    from downgan_tpu.training.trainer import full_split_metric_pass
+
+    means = {k: round(v, 6) for k, v in full_split_metric_pass(
+        state, ds, config.hp.batch_size, np.random.default_rng(config.seed),
+        jax.jit(build_eval_metrics(config, gen, critic)),
+        eval_scan=jax.jit(build_eval_scan(config, gen, critic)),
+    ).items()}
     result = {"split": "synthetic" if synthetic else split,
-              "n_samples": n, "step": int(state.step), **means}
+              "n_samples": len(ds), "step": int(state.step), **means}
     if ensemble:
         if config.noise_channels <= 0:
             raise click.UsageError(
@@ -888,6 +874,8 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
     from downgan_tpu.training.state import create_state, make_models
     from downgan_tpu.utils import profiling
 
+    if steps < 1:
+        raise click.UsageError("--steps must be >= 1")
     config = _load_config(config_path, region, batch_size=batch_size,
                           compute_dtype=compute_dtype)
     gen, critic = make_models(config)
@@ -898,9 +886,15 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
     ).astype(np.float32))
 
     if mode == "infer":
-        params = gen.init(jax.random.PRNGKey(0), coarse[:1])
+        # Profile the generator exactly as served: stochastic configs
+        # (noise_channels > 0) get the fixed eval realization appended,
+        # the same input the serving/eval forward sees.
+        from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
+
+        g_in = make_noise_injector(config)(eval_noise_rng(config), coarse)
+        params = gen.init(jax.random.PRNGKey(0), g_in[:1])
         fwd = jax.jit(gen.apply)
-        run_once = lambda: fwd(params, coarse)
+        run_once = lambda: fwd(params, g_in)
         sync = lambda r: jax.device_get(r[0, 0, 0, 0])
     else:
         from downgan_tpu.training.wgan import build_train_step

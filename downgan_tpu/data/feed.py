@@ -44,6 +44,7 @@ def prefetch_batches(
     perm: np.ndarray,
     sharding: Optional[jax.sharding.Sharding] = None,
     prefetch: int = 2,
+    put_fn=None,
 ) -> Iterator[Tuple[jax.Array, jax.Array]]:
     """Yield device-resident (coarse, fine) batches for one epoch with
     ``prefetch`` batches in flight ahead of the consumer.
@@ -53,11 +54,21 @@ def prefetch_batches(
     :class:`~downgan_tpu.data.stream.StreamDataset`) runs on a single
     reader thread, so I/O overlaps the current step's compute as well as
     the (already-async) H2D transfer. One worker keeps batch order and
-    read order deterministic."""
+    read order deterministic.
+
+    ``put_fn(coarse_rows, fine_rows)`` overrides the default
+    ``device_put`` — the pod path passes
+    :func:`~downgan_tpu.parallel.multihost.make_global_batch` here so
+    each host's rows assemble into a globally-sharded batch inside the
+    same pipeline (``jax.make_array_from_process_local_data`` is purely
+    local: no cross-process ordering constraint from the reader thread).
+    """
 
     def put(idx: np.ndarray) -> Tuple[jax.Array, jax.Array]:
         c = dataset.coarse[idx]
         f = dataset.fine[idx]
+        if put_fn is not None:
+            return put_fn(c, f)
         if sharding is not None:
             return jax.device_put(c, sharding), jax.device_put(f, sharding)
         return jax.device_put(c), jax.device_put(f)

@@ -114,7 +114,8 @@ def restore_generator_params(
     gen, _ = make_models(config)
     template = gen.init(
         jax.random.PRNGKey(0),
-        jnp.zeros((1, config.coarse_size, config.coarse_size, config.n_covariates)),
+        jnp.zeros((1, config.coarse_size, config.coarse_size,
+                   config.generator_in_channels)),
     )
     if weights_only:
         if step is not None:

@@ -166,9 +166,21 @@ class SRModel:
                 f"invalid tiling: tile_rows={tile_rows} (>=1), "
                 f"overlap={overlap} (>=0), tile_cols={tile_cols} (>=0)"
             )
+        if tiles_per_dispatch < 1:
+            raise ValueError(
+                f"tiles_per_dispatch must be >= 1, got {tiles_per_dispatch}")
         self.check_domain_output(coarse.shape)
         t0 = time.perf_counter()
         b, h, w, _ = coarse.shape
+        # Clamp the fold to the request's real tile count: the tiler pads
+        # the last chunk UP to tiles_per_dispatch, so a client-supplied
+        # huge value would otherwise force an unbounded device/host
+        # allocation (the same class of over-allocation the output cap
+        # guards against). Clamped, the worst case is one dispatch of all
+        # tiles — already bounded by check_domain_output.
+        n_tiles = (b * -(-h // tile_rows)
+                   * (-(-w // tile_cols) if tile_cols else 1))
+        tiles_per_dispatch = min(tiles_per_dispatch, n_tiles)
         with self._lock:  # serialized device access
             out = tiled_sr_inference(
                 self.config, self._params, np.asarray(coarse, np.float32),
@@ -419,11 +431,13 @@ def generate_remote(url: str, coarse: np.ndarray) -> np.ndarray:
 
 
 def generate_domain_remote(url: str, coarse: np.ndarray, tile_rows: int = 16,
-                           overlap: int = 8, tile_cols: int = 0) -> np.ndarray:
+                           overlap: int = 8, tile_cols: int = 0,
+                           tiles_per_dispatch: int = 8) -> np.ndarray:
     """Client helper for arbitrary-size fields: POST (B, H, W, C), get
     (B, H*r, W*r, P) via the server's overlap-tiled inference."""
     return _post_npy(
         f"{url.rstrip('/')}/v1/generate-domain"
-        f"?tile_rows={tile_rows}&overlap={overlap}&tile_cols={tile_cols}",
+        f"?tile_rows={tile_rows}&overlap={overlap}&tile_cols={tile_cols}"
+        f"&tiles_per_dispatch={tiles_per_dispatch}",
         coarse,
     )

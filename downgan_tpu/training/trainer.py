@@ -43,6 +43,57 @@ class NonFiniteLossError(RuntimeError):
     """Training diverged: an epoch's mean metrics contain NaN/Inf."""
 
 
+def full_split_metric_pass(
+    state: GANTrainState,
+    ds,
+    batch_size: int,
+    rng: np.random.Generator,
+    eval_fn,
+    eval_scan=None,
+    gather=None,
+) -> Dict[str, float]:
+    """Whole-split metric pass covering EVERY sample (single source of
+    truth for the Trainer's per-epoch test pass AND the ``evaluate`` CLI).
+
+    The reference's test DataLoader keeps the final partial batch
+    (``GAN/stage.py:78-81``, torch default drop_last=False) and the epoch
+    tail iterates it (``wasserstein.py:157-169``), averaging per-batch
+    metric values over the number of batches. Parity: full batches run
+    through the compiled ``eval_scan`` when given (else per-batch
+    ``eval_fn``); a ragged tail is evaluated as its own (smaller,
+    separately-compiled) batch — its own static shape, so MS-SSIM's
+    batch-global normalization matches the reference's partial-batch
+    semantics — and the mean weights each batch equally, exactly like
+    ``post_epoch_metric_mean``.
+    """
+    if gather is None:
+        gather = lambda d, idx: (
+            jnp.take(d.coarse, jnp.asarray(idx), axis=0),
+            jnp.take(d.fine, jnp.asarray(idx), axis=0))
+    n = len(ds)
+    perm = ds.epoch_perm(rng, batch_size, shuffle=False)
+    sums: Dict[str, float] = {}
+    n_batches = 0
+    if len(perm) and eval_scan is not None:
+        stacked = eval_scan(state, ds.coarse, ds.fine, perm)
+        for k, v in stacked.items():
+            sums[k] = float(jnp.sum(v))
+        n_batches += len(perm)
+    elif len(perm):
+        for idx in perm:
+            coarse, fine = gather(ds, idx)
+            for k, v in eval_fn(state, coarse, fine).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        n_batches += len(perm)
+    tail = np.arange(len(perm) * batch_size, n)
+    if tail.size:
+        coarse, fine = gather(ds, tail)
+        for k, v in eval_fn(state, coarse, fine).items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n_batches += 1
+    return {k: v / max(n_batches, 1) for k, v in sums.items()}
+
+
 class Trainer:
     """WGAN-GP trainer over device-resident or host-resident datasets.
 
@@ -159,8 +210,11 @@ class Trainer:
                 raise ValueError(
                     "track_best selects on a TEST metric and needs a test "
                     "dataset")
-            known = set(config.hp.metrics_to_calculate) | {
-                "critic_loss", "gen_loss", "Wass"}
+            # The test pass emits exactly the configured metric registry
+            # (build_eval_metrics: registry keys + Wass only when listed),
+            # so anything else would silently never match (_update_best
+            # would see None every epoch and no bundle would be written).
+            known = set(config.hp.metrics_to_calculate)
             if track_best not in known:
                 raise ValueError(
                     f"track_best metric {track_best!r} is not produced by "
@@ -314,9 +368,14 @@ class Trainer:
             lo, hi = process_batch_slice(bs)
             sums: Dict[str, float] = {}
             n = 0
-            for idx in perm_np:
-                coarse = make_global_batch(self.mesh, self.train_ds.coarse[idx[lo:hi]])
-                fine = make_global_batch(self.mesh, self.train_ds.fine[idx[lo:hi]])
+            # Same double-buffered feed as the single-host branch below:
+            # each host reads only its rows (perm[:, lo:hi]) on the reader
+            # thread (disk I/O overlaps compute) and assembles the global
+            # batch via make_global_batch in put_fn.
+            for coarse, fine in prefetch_batches(
+                    self.train_ds, perm_np[:, lo:hi],
+                    put_fn=lambda c, f: (make_global_batch(self.mesh, c),
+                                         make_global_batch(self.mesh, f))):
                 self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
                 n += 1
                 for k, v in metrics.items():
@@ -367,46 +426,16 @@ class Trainer:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def _run_test_pass(self) -> Dict[str, float]:
-        """Full test-set metric pass covering EVERY held-out sample.
-
-        The reference's test DataLoader keeps the final partial batch
-        (``GAN/stage.py:78-81``, torch default drop_last=False) and the
-        epoch tail iterates it (``wasserstein.py:157-169``), averaging the
-        per-batch metric values over the number of batches. Parity: full
-        batches run through the compiled eval scan; a ragged tail is
-        evaluated as its own (smaller, separately-compiled) batch — its
-        own static shape, so MS-SSIM's batch-global normalization matches
-        the reference's partial-batch semantics — and the mean weights
-        each batch equally, exactly like ``post_epoch_metric_mean``.
-        """
+        """Full test-set metric pass covering EVERY held-out sample
+        (:func:`full_split_metric_pass` — shared with the evaluate CLI)."""
         assert self.test_ds is not None
-        bs = self.config.hp.batch_size
-        n = len(self.test_ds)
-        perm = self.test_ds.epoch_perm(self._epoch_rng(), bs, shuffle=False)
         scan_ok = (self.config.hp.fused_epoch
                    and not isinstance(self.test_ds, HostDataset))
-        sums: Dict[str, float] = {}
-        n_batches = 0
-        if len(perm) and scan_ok:
-            stacked = self._eval_scan(
-                self.state, self.test_ds.coarse, self.test_ds.fine, perm
-            )
-            for k, v in stacked.items():
-                sums[k] = float(jnp.sum(v))
-            n_batches += len(perm)
-        elif len(perm):
-            for idx in perm:
-                coarse, fine = self._gather(self.test_ds, idx)
-                for k, v in self._eval_fn(self.state, coarse, fine).items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            n_batches += len(perm)
-        tail = np.arange(len(perm) * bs, n)
-        if tail.size:
-            coarse, fine = self._gather(self.test_ds, tail)
-            for k, v in self._eval_fn(self.state, coarse, fine).items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n_batches += 1
-        return {k: v / max(n_batches, 1) for k, v in sums.items()}
+        return full_split_metric_pass(
+            self.state, self.test_ds, self.config.hp.batch_size,
+            self._epoch_rng(), self._eval_fn,
+            eval_scan=self._eval_scan if scan_ok else None,
+            gather=self._gather)
 
     def _update_best(self, test_means: Dict[str, float]) -> None:
         """Best-checkpoint tracking: on improvement of the tracked test

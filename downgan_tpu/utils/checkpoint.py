@@ -52,6 +52,15 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint found")
+        retained = list(self.all_steps())
+        if retained and step not in retained:
+            raise FileNotFoundError(
+                f"epoch/step {step} is not among the retained checkpoints "
+                f"{sorted(retained)}. The default retention keeps a rolling "
+                "window of 3 full train states; train with "
+                "Config.max_checkpoints=0 (keep every epoch, the reference's "
+                "behavior) or keep_checkpoint_every=k to make older epochs "
+                "restorable.")
         return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
 
     def latest_step(self) -> Optional[int]:

@@ -262,6 +262,25 @@ def test_generate_domain_endpoint(served):
     assert exc.value.code == 400
 
 
+def test_domain_tiles_per_dispatch_bounded(served):
+    """A client-supplied huge tiles_per_dispatch must not force a huge
+    padded dispatch: the server clamps it to the request's real tile
+    count (same result), and a non-positive value is a clean 400."""
+    from downgan_tpu.serving import generate_domain_remote
+
+    config, gen, params, url = served
+    coarse = np.random.default_rng(5).standard_normal((2, 24, 16, 7)).astype(np.float32)
+    ref = generate_domain_remote(url, coarse, tile_rows=8, overlap=4)
+    huge = generate_domain_remote(url, coarse, tile_rows=8, overlap=4,
+                                  tiles_per_dispatch=10**9)
+    np.testing.assert_allclose(huge, ref, atol=1e-5)
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        generate_domain_remote(url, coarse, tile_rows=8, overlap=4,
+                               tiles_per_dispatch=0)
+    assert exc.value.code == 400
+
+
 def test_domain_dispatch_count_matches_instrumented(monkeypatch):
     """VERDICT r2 weak #4: /metrics must count the REAL device dispatches
     the tiler issues for domain traffic, not one logical dispatch."""

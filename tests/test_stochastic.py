@@ -153,8 +153,21 @@ def test_trainer_stochastic_end_to_end(tmp_path):
     trainer = Trainer(config, train_ds, test_ds, run=run, verbose=False,
                       track_best="MAE")
     trainer.train(epochs=2)
-    assert os.path.exists(os.path.join(run.artifact_dir, "best", "best.json"))
+    best_dir = os.path.join(run.artifact_dir, "best")
+    assert os.path.exists(os.path.join(best_dir, "best.json"))
     assert os.path.exists(os.path.join(run.artifact_dir, "train_images.png"))
+
+    # the bundle of a STOCHASTIC generator must be loadable: the restore
+    # template needs generator_in_channels (covariates + noise), not
+    # n_covariates (regression — Orbax validates the target tree shapes)
+    from downgan_tpu.inference import generate_fields, restore_generator_params
+
+    params = restore_generator_params(
+        config, os.path.join(best_dir, "params"), weights_only=True)
+    out = generate_fields(config, params,
+                          np.asarray(test_ds.coarse, np.float32), chunk_size=4)
+    assert out.shape == (8, 32, 32, 2)
+    assert np.isfinite(out).all()
 
 
 def test_crps_matches_bruteforce_and_degenerates_to_mae():

@@ -424,5 +424,11 @@ def test_track_best_validation():
     with pytest.raises(ValueError, match="not produced"):
         Trainer(config, train_ds, test_ds, verbose=False, track_best="MSSSIM",
                 best_dir="x")
+    # training-only scalars are NOT test-pass outputs: accepting them
+    # would silently never write a bundle (regression)
+    for absent in ("gen_loss", "critic_loss"):
+        with pytest.raises(ValueError, match="not produced"):
+            Trainer(config, train_ds, test_ds, verbose=False,
+                    track_best=absent, best_dir="x")
     with pytest.raises(ValueError, match="best_dir"):
         Trainer(config, train_ds, test_ds, verbose=False, track_best="MAE")
