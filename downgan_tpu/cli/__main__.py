@@ -347,7 +347,9 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
     try:
         trainer.train()
         if run is not None:
-            run.end("FINISHED")
+            # KILLED is the mlflow status vocabulary for an externally
+            # stopped run; the full state is checkpointed either way.
+            run.end("KILLED" if trainer.preempted else "FINISHED")
     except BaseException:
         if run is not None:
             run.end("FAILED")
@@ -357,6 +359,10 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         if stream:
             train_ds.close()
             test_ds.close()
+    if trainer.preempted:
+        click.echo(
+            f"preempted after epoch {trainer.epoch - 1}: checkpoint saved; "
+            "re-run with --resume to continue the exact trajectory")
     if run is not None:
         click.echo(f"run {run.run_id} finished; artifacts in {run.artifact_dir}")
 
@@ -423,10 +429,16 @@ def prepare_data(config_path, region) -> None:
               "members from a stochastic generator (trained with "
               "Config.noise_channels > 0); the output NetCDF gains a "
               "leading `member` dimension. Incompatible with tiling.")
+@click.option("--streamed", is_flag=True,
+              help="Write each generated chunk straight into the NetCDF "
+              "(constant host memory in series length — the full output "
+              "is ~sf^2x the input and may not fit RAM; identical file "
+              "contents to the in-memory path). Composes with --tile-rows "
+              "and --ensemble.")
 def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
              weights_only, ema, out, synthetic, raw_covariates, subset, samples,
              tile_rows, overlap, tile_cols, tiles_per_dispatch,
-             ensemble) -> None:
+             ensemble, streamed) -> None:
     """Generate super-resolved fields from a trained checkpoint and write
     them to NetCDF (parity with helpers/gen_fake_ds.py)."""
     from downgan_tpu.data.staging import load_preprocessed
@@ -481,6 +493,34 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=weights_only,
                                         use_ema=ema)
+    import numpy as np
+
+    if times is not None:
+        times = np.asarray(times)
+        if times.dtype.kind == "M":  # datetime64 -> epoch seconds
+            times = times.astype("datetime64[s]").astype("float64")
+    # Attach true coords only when their lengths match the generated grid
+    # (a model whose upsample ratio differs from the data scale_factor
+    # produces a different fine size; fall back to index coords then).
+    sf = 2 ** config.num_upsample
+    if lats is not None and len(lats) != coarse.shape[1] * sf:
+        lats = None
+    if lons is not None and len(lons) != coarse.shape[2] * sf:
+        lons = None
+
+    if streamed:
+        from downgan_tpu.inference import generate_to_netcdf
+
+        generate_to_netcdf(
+            out, config, g_params, coarse, var_names=("u10", "v10"),
+            times=times, lats=lats, lons=lons, n_members=ensemble,
+            tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
+            tiles_per_dispatch=tiles_per_dispatch)
+        what = (f"{coarse.shape[0]} generated fields x {ensemble} members"
+                if ensemble else f"{coarse.shape[0]} generated fields")
+        click.echo(f"wrote {what} to {out} (streamed)")
+        return
+
     if tile_rows:
         import jax
 
@@ -509,19 +549,6 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         fields = generate_ensemble(config, g_params, coarse, ensemble)
     else:
         fields = generate_fields(config, g_params, coarse)
-    import numpy as np
-
-    if times is not None:
-        times = np.asarray(times)
-        if times.dtype.kind == "M":  # datetime64 -> epoch seconds
-            times = times.astype("datetime64[s]").astype("float64")
-    # Attach true coords only when their lengths match the generated grid
-    # (a model whose upsample ratio differs from the data scale_factor
-    # produces a different fine size; fall back to index coords then).
-    if lats is not None and len(lats) != fields.shape[-3]:
-        lats = None
-    if lons is not None and len(lons) != fields.shape[-2]:
-        lons = None
     write_generated_netcdf(out, fields, var_names=("u10", "v10"), times=times,
                            lats=lats, lons=lons)
     what = (f"{fields.shape[1]} generated fields x {fields.shape[0]} members"

@@ -144,6 +144,61 @@ def read_variable(path: str, name: str, sel: Optional[tuple] = None) -> Variable
         return f.variable(name, sel)
 
 
+class NetCDFStreamWriter:
+    """Incremental netCDF4-compatible writer: create the full-size file
+    once, assign slabs as they are generated, close. Host memory stays at
+    one slab regardless of series length (the in-memory ``write_netcdf``
+    needs the whole array; the reference's ``gen_fake_ds.py:156-162`` also
+    materializes every generated chunk before its one ``to_netcdf``).
+
+    ``var_shapes``: name -> full dataset shape (created empty, ``f4``);
+    ``dims``/``coords``/``attrs``/``chunks`` as in :func:`write_netcdf`.
+    Use as a context manager; ``write(name, index, arr)`` assigns any
+    h5py-style index (an int, slice, or tuple of them).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        var_shapes: Dict[str, tuple],
+        dims: Dict[str, Sequence[str]],
+        coords: Optional[Dict[str, np.ndarray]] = None,
+        attrs: Optional[Dict[str, Dict[str, object]]] = None,
+        chunks: Optional[Dict[str, tuple]] = None,
+    ):
+        self._f = h5py.File(path, "w")
+        scales: Dict[str, h5py.Dataset] = {}
+        for dim_name, values in (coords or {}).items():
+            d = self._f.create_dataset(dim_name, data=np.asarray(values))
+            d.make_scale(dim_name)
+            d.attrs["_Netcdf4Coordvar"] = np.int32(1)
+            scales[dim_name] = d
+        self._vars: Dict[str, h5py.Dataset] = {}
+        for name, shape in var_shapes.items():
+            d = self._f.create_dataset(
+                name, shape=shape, dtype="f4",
+                chunks=(chunks or {}).get(name))
+            for i, dim_name in enumerate(dims[name]):
+                if dim_name in scales:
+                    d.dims[i].attach_scale(scales[dim_name])
+                d.dims[i].label = dim_name
+            for k, v in ((attrs or {}).get(name) or {}).items():
+                d.attrs[k] = v
+            self._vars[name] = d
+
+    def write(self, name: str, index, arr: np.ndarray) -> None:
+        self._vars[name][index] = np.asarray(arr, np.float32)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self) -> "NetCDFStreamWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def write_netcdf(
     path: str,
     variables: Dict[str, np.ndarray],

@@ -177,6 +177,26 @@ def generate_fields(
     values give independent ensemble members (see
     :func:`generate_ensemble`). Deterministic configs ignore ``member``.
     """
+    return np.concatenate(
+        [blk for _, blk in
+         generate_fields_iter(config, g_params, coarse,
+                              chunk_size=chunk_size, member=member)],
+        axis=0)
+
+
+def generate_fields_iter(
+    config: Config,
+    g_params,
+    coarse: np.ndarray,
+    chunk_size: int = 0,
+    member: int = 0,
+):
+    """Chunked generation as an iterator of ``(start, (k, H, W, P))``
+    blocks — the streaming core of :func:`generate_fields` (identical
+    semantics: same compiled forward, same per-chunk latent stream, the
+    ragged tail padded and trimmed). Lets callers consume arbitrarily
+    long series at one output block of host memory
+    (:func:`generate_to_netcdf`)."""
     from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
 
     gen, _ = make_models(config)
@@ -186,7 +206,6 @@ def generate_fields(
         lambda params, x, rng: gen.apply(params, inject(rng, x)))
     chunk = chunk_size or config.chunk_size
     n = coarse.shape[0]
-    outs = []
     for i, start in enumerate(range(0, n, chunk)):
         block = coarse[start : start + chunk]
         pad = chunk - block.shape[0]
@@ -194,8 +213,7 @@ def generate_fields(
             block = np.concatenate([block, np.zeros((pad, *block.shape[1:]), block.dtype)])
         fake = np.asarray(fwd(g_params, jnp.asarray(block, jnp.float32),
                               jax.random.fold_in(member_rng, i)))
-        outs.append(fake[: chunk - pad] if pad else fake)
-    return np.concatenate(outs, axis=0)
+        yield start, (fake[: chunk - pad] if pad else fake)
 
 
 def generate_ensemble(
@@ -282,3 +300,115 @@ def write_generated_netcdf(
     chunk = (min(time_chunk, n), h, w)
     chunks = {name: ((1, *chunk) if ensemble else chunk) for name in variables}
     write_netcdf(path, variables, dims, coords=coords, chunks=chunks)
+
+
+def generate_to_netcdf(
+    path: str,
+    config: Config,
+    g_params,
+    coarse: np.ndarray,
+    var_names: Sequence[str] = ("u10", "v10"),
+    times: Optional[np.ndarray] = None,
+    lats: Optional[np.ndarray] = None,
+    lons: Optional[np.ndarray] = None,
+    chunk_size: int = 0,
+    n_members: int = 0,
+    time_chunk: int = 5,
+    tile_rows: int = 0,
+    overlap: int = 8,
+    tile_cols: int = 0,
+    tiles_per_dispatch: int = 8,
+    mesh=None,
+) -> None:
+    """Generate straight INTO a NetCDF, one time-slab of output in host
+    memory at a time — for series whose full (N, H*sf, W*sf, P) output
+    would not fit host RAM (at sf=8 the output is ~64x(P/C) the input;
+    the in-memory path and the reference, ``gen_fake_ds.py:156-162``,
+    both materialize everything before writing).
+
+    Identical file contents to ``generate_fields`` +
+    :func:`write_generated_netcdf` (tested bit-for-bit), including
+    stochastic members (the per-chunk latent stream depends only on the
+    chunk index, not on what is done with the blocks). ``tile_rows > 0``
+    runs the 2-D overlap tiler per time block (constant memory in domain
+    size too); for a STOCHASTIC generator the tiled streaming path draws
+    each sample's whole-domain latent from its absolute time index, so
+    realizations are deterministic and block-size-independent (but differ
+    from a single whole-series ``tiled_sr_inference`` call, whose latent
+    batch is drawn in one draw). ``n_members > 0`` streams an ensemble
+    (member dimension; mutually exclusive with tiling, like the CLI).
+    """
+    from downgan_tpu.data.netcdf import NetCDFStreamWriter
+
+    if n_members and tile_rows:
+        raise ValueError("ensemble streaming and tiled streaming are "
+                         "mutually exclusive (tiled inference draws one "
+                         "whole-domain latent per sample)")
+    n, h, w, _ = coarse.shape
+    sf = 2 ** config.num_upsample
+    fine_h, fine_w = h * sf, w * sf
+    p = config.n_predictands
+    names = list(var_names[:p])
+    ensemble = n_members > 0
+
+    coords: Dict[str, np.ndarray] = {
+        "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),
+        "lat": np.arange(fine_h, dtype=np.float64) if lats is None else np.asarray(lats),
+        "lon": np.arange(fine_w, dtype=np.float64) if lons is None else np.asarray(lons),
+    }
+    if ensemble:
+        coords["member"] = np.arange(n_members, dtype=np.float64)
+    base_shape = (n, fine_h, fine_w)
+    base_dims = ("time", "lat", "lon")
+    hchunk = (min(time_chunk, n), fine_h, fine_w)
+    if ensemble:
+        base_shape = (n_members, *base_shape)
+        base_dims = ("member", *base_dims)
+        hchunk = (1, *hchunk)
+    shapes = {name: base_shape for name in names}
+    dims = {name: base_dims for name in names}
+    chunks = {name: hchunk for name in names}
+
+    def write_block(wtr, start, block, member=None):
+        sel = slice(start, start + block.shape[0])
+        for i, name in enumerate(names):
+            wtr.write(name, sel if member is None else (member, sel),
+                      block[..., i])
+
+    with NetCDFStreamWriter(path, shapes, dims, coords=coords,
+                            chunks=chunks) as wtr:
+        if ensemble:
+            if config.noise_channels <= 0:
+                raise ValueError(
+                    "ensemble generation needs a stochastic generator: "
+                    "train with Config.noise_channels > 0")
+            for m in range(n_members):
+                for start, block in generate_fields_iter(
+                        config, g_params, coarse, chunk_size=chunk_size,
+                        member=m):
+                    write_block(wtr, start, block, member=m)
+        elif tile_rows:
+            from downgan_tpu.parallel.spatial import tiled_sr_inference
+
+            chunk = chunk_size or config.chunk_size
+            for start in range(0, n, chunk):
+                block_in = coarse[start : start + chunk]
+                if config.noise_channels:
+                    # Whole-domain latent per sample from its ABSOLUTE
+                    # index: deterministic and independent of chunking.
+                    z = np.stack([
+                        np.random.default_rng(
+                            (config.seed, 0x5E11, start + j)).standard_normal(
+                            (h, w, config.noise_channels))
+                        for j in range(block_in.shape[0])
+                    ]).astype(block_in.dtype)
+                    block_in = np.concatenate([block_in, z], axis=-1)
+                block = tiled_sr_inference(
+                    config, g_params, block_in, tile_rows=tile_rows,
+                    overlap=overlap, tile_cols=tile_cols,
+                    tiles_per_dispatch=tiles_per_dispatch, mesh=mesh)
+                write_block(wtr, start, block)
+        else:
+            for start, block in generate_fields_iter(
+                    config, g_params, coarse, chunk_size=chunk_size):
+                write_block(wtr, start, block)
