@@ -328,8 +328,12 @@ def sharded_generator_apply(config: Config, mesh: Mesh, axis_name: str = "spatia
     )
     spec = P(None, axis_name, None, None)
 
+    # Manual only over the spatial axis: on a multi-axis mesh the other
+    # axes (e.g. a "data" batch axis) stay auto/GSPMD-managed, which is
+    # what lets build_dp_spatial_train_step compose DP with this sharding.
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=spec
+        jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=spec,
+        axis_names=frozenset({axis_name}),
     )
     def apply(params, coarse):
         return gen.apply(params, coarse)
@@ -361,7 +365,8 @@ def sharded_critic_apply(config: Config, mesh: Mesh, axis_name: str = "spatial",
     spec = P(None, axis_name, None, None)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=P()
+        jax.shard_map, mesh=mesh, in_specs=(P(), spec), out_specs=P(),
+        axis_names=frozenset({axis_name}),
     )
     def apply(params, fine):
         return critic.apply(params, fine)
@@ -393,3 +398,53 @@ def build_spatial_train_step(config: Config, mesh: Mesh, axis_name: str = "spati
     critic_shim = types.SimpleNamespace(apply=critic_apply)
     step = build_train_step(config, gen_shim, critic_shim, with_metrics=with_metrics)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def build_dp_spatial_train_step(
+    config: Config,
+    mesh: Mesh,
+    data_axis: str = "data",
+    axis_name: str = "spatial",
+    with_metrics: bool = False,
+    donate_state: bool = True,
+):
+    """2-D parallel WGAN-GP train step over a ``(data, spatial)`` mesh:
+    the batch is data-parallel over ``data_axis`` while every field's H
+    axis is halo-exchange-sharded over ``axis_name`` — DP x SP composed
+    in ONE compiled program.
+
+    The composition is clean because the two axes use the two JAX
+    sharding modes for what each does best: the network applies are
+    ``shard_map``-manual over the spatial axis only
+    (``axis_names={axis_name}`` — explicit ppermute halos + the
+    row-parallel critic psum), and the batch axis stays AUTO, so GSPMD
+    inserts the gradient all-reduce over ``data_axis`` exactly as in the
+    plain DP step (``parallel/dp.py``). For pods: batch across hosts x
+    field rows across the chips of each host, so fields too large for
+    one chip's HBM still train data-parallel. The reference is
+    hard-wired to one GPU (``DoWnGAN/config/config.py:25``).
+    """
+    import types
+
+    from jax.sharding import NamedSharding
+
+    from downgan_tpu.training.wgan import build_train_step
+
+    if config.critic_conditional:
+        raise NotImplementedError(
+            "the spatially-sharded train step supports the reference's "
+            "unconditional critic only; train critic_conditional models "
+            "with the DP path")
+    gen_apply = sharded_generator_apply(config, mesh, axis_name, jit=False)
+    critic_apply = sharded_critic_apply(config, mesh, axis_name, jit=False)
+    step = build_train_step(
+        config, types.SimpleNamespace(apply=gen_apply),
+        types.SimpleNamespace(apply=critic_apply), with_metrics=with_metrics)
+    rep = NamedSharding(mesh, P())
+    bat = NamedSharding(mesh, P(data_axis, axis_name, None, None))
+    return jax.jit(
+        step,
+        in_shardings=(rep, bat, bat, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )

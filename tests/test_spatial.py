@@ -165,6 +165,76 @@ def test_spatial_train_step_matches_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_dp_spatial_composed_step_matches_dp():
+    """DP x SP in one step: batch sharded over a 4-way data axis AND
+    fields halo-sharded over a 2-way spatial axis (4x2 mesh) produce the
+    same update as the DP-only step with the SAME 4-way batch sharding —
+    isolating the spatial decomposition (the DP-vs-single-device
+    equivalence is test_parallel's job; comparing composed vs PLAIN
+    would conflate the batch psum order, whose ulp-level grad deltas
+    Adam's step-1 sign normalization amplifies to ~2*lr on near-zero
+    gradients). Metrics still cross-check against the plain step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from downgan_tpu.parallel.dp import build_dp_train_step
+    from downgan_tpu.parallel.spatial import build_dp_spatial_train_step
+    from downgan_tpu.training.state import create_state
+    from downgan_tpu.training.wgan import build_train_step
+
+    hp = HyperParams(batch_size=8, metrics_to_calculate=("MAE", "MSE", "Wass"))
+    config = Config(coarse_size=16, fine_size=128, filters=8, num_res_blocks=1, hp=hp)
+    gen, critic = make_models(config)
+    rng = jax.random.PRNGKey(5)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (8, 128, 128, 2))
+
+    plain = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    _, m0 = plain(create_state(config, jax.random.PRNGKey(0)), coarse, fine, rng)
+
+    # DP-only baseline: batch over a 4-way data axis (spatial unsharded)
+    mesh_dp = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    dp = build_dp_train_step(config, gen, critic, mesh_dp, with_metrics=True,
+                             donate_state=False)
+    bat_dp = NamedSharding(mesh_dp, P("data", None, None, None))
+    s1, m1 = dp(
+        jax.device_put(create_state(config, jax.random.PRNGKey(0)),
+                       NamedSharding(mesh_dp, P())),
+        jax.device_put(coarse, bat_dp), jax.device_put(fine, bat_dp), rng)
+
+    mesh = make_mesh((4, 2), ("data", "spatial"))
+    step2d = build_dp_spatial_train_step(config, mesh, with_metrics=True,
+                                         donate_state=False)
+    bat = NamedSharding(mesh, P("data", "spatial", None, None))
+    s2, m2 = step2d(
+        jax.device_put(create_state(config, jax.random.PRNGKey(0)),
+                       NamedSharding(mesh, P())),
+        jax.device_put(coarse, bat), jax.device_put(fine, bat), rng)
+
+    for k in m1:
+        assert float(m1[k]) == pytest.approx(float(m2[k]), rel=1e-4), k
+        assert float(m0[k]) == pytest.approx(float(m2[k]), rel=1e-3), k
+    for a, b in zip(jax.tree.leaves(s1.c_params), jax.tree.leaves(s2.c_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    # Generator params: Adam's step-1 update is +-lr for ANY nonzero
+    # grad (m_hat/sqrt(v_hat) = sign(g) at init), so ulp-level
+    # reduction-order deltas on near-zero grads show up as <=2*lr
+    # (5e-4) sign flips on a handful of weights. Bound by 2*lr + eps and
+    # require the flips to be rare; per-apply numerics are pinned tightly
+    # by the dedicated forward/GP tests above.
+    n_big = n_tot = 0
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        np.testing.assert_allclose(d.max(), 0, atol=2 * 2.5e-4 + 1e-5)
+        n_big += int((d > 5e-5).sum())
+        n_tot += d.size
+    assert n_big / n_tot < 0.005, (n_big, n_tot)
+
+    with pytest.raises(NotImplementedError, match="unconditional"):
+        build_dp_spatial_train_step(
+            Config(coarse_size=16, fine_size=128, filters=8,
+                   num_res_blocks=1, critic_conditional=True, hp=hp), mesh)
+
+
 def test_tiled_sr_inference_dp_mesh_bit_identical():
     """Multi-chip tiled inference: tiles sharded over a DP mesh are
     bit-identical to the single-device tiler, for row bands and 2-D tiles,
