@@ -508,28 +508,14 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     if lons is not None and len(lons) != coarse.shape[2] * sf:
         lons = None
 
-    if streamed:
-        from downgan_tpu.inference import generate_to_netcdf
-
-        generate_to_netcdf(
-            out, config, g_params, coarse, var_names=("u10", "v10"),
-            times=times, lats=lats, lons=lons, n_members=ensemble,
-            tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
-            tiles_per_dispatch=tiles_per_dispatch)
-        what = (f"{coarse.shape[0]} generated fields x {ensemble} members"
-                if ensemble else f"{coarse.shape[0]} generated fields")
-        click.echo(f"wrote {what} to {out} (streamed)")
-        return
-
+    mesh = None
     if tile_rows:
         import jax
 
-        from downgan_tpu.parallel.spatial import tiled_sr_inference
-
-        mesh = None
         if len(jax.devices()) > 1:
             # Multi-chip host: shard the tiles data-parallel over all
-            # devices (bit-identical to single-device, tested).
+            # devices (bit-identical to single-device, tested) — the
+            # streamed path dispatches tiles the same way per time block.
             from jax.sharding import NamedSharding, PartitionSpec
 
             from downgan_tpu.parallel.mesh import make_mesh
@@ -540,6 +526,23 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
             # the whole param tree onto the mesh.
             g_params = jax.device_put(
                 g_params, NamedSharding(mesh, PartitionSpec()))
+
+    if streamed:
+        from downgan_tpu.inference import generate_to_netcdf
+
+        generate_to_netcdf(
+            out, config, g_params, coarse, var_names=("u10", "v10"),
+            times=times, lats=lats, lons=lons, n_members=ensemble,
+            tile_rows=tile_rows, overlap=overlap, tile_cols=tile_cols,
+            tiles_per_dispatch=tiles_per_dispatch, mesh=mesh)
+        what = (f"{coarse.shape[0]} generated fields x {ensemble} members"
+                if ensemble else f"{coarse.shape[0]} generated fields")
+        click.echo(f"wrote {what} to {out} (streamed)")
+        return
+
+    if tile_rows:
+        from downgan_tpu.parallel.spatial import tiled_sr_inference
+
         fields = tiled_sr_inference(config, g_params, coarse,
                                     tile_rows=tile_rows, overlap=overlap,
                                     tile_cols=tile_cols,

@@ -269,6 +269,43 @@ def ensemble_metrics(
     }
 
 
+def _generated_layout(
+    n: int,
+    fine_h: int,
+    fine_w: int,
+    p: int,
+    var_names: Sequence[str],
+    times: Optional[np.ndarray],
+    lats: Optional[np.ndarray],
+    lons: Optional[np.ndarray],
+    time_chunk: int,
+    n_members: int = 0,
+):
+    """Shared NetCDF layout (names/coords/dims/chunks/shapes) for generated
+    fields — the single source both :func:`write_generated_netcdf` and the
+    streamed :func:`generate_to_netcdf` build from, so their file contents
+    cannot drift apart (the streamed-equals-in-memory contract is tested
+    bit-for-bit)."""
+    names = list(var_names[:p])
+    coords: Dict[str, np.ndarray] = {
+        "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),
+        "lat": np.arange(fine_h, dtype=np.float64) if lats is None else np.asarray(lats),
+        "lon": np.arange(fine_w, dtype=np.float64) if lons is None else np.asarray(lons),
+    }
+    shape = (n, fine_h, fine_w)
+    base_dims = ("time", "lat", "lon")
+    chunk = (min(time_chunk, n), fine_h, fine_w)
+    if n_members:
+        coords["member"] = np.arange(n_members, dtype=np.float64)
+        shape = (n_members, *shape)
+        base_dims = ("member", *base_dims)
+        chunk = (1, *chunk)
+    dims = {name: base_dims for name in names}
+    chunks = {name: chunk for name in names}
+    shapes = {name: shape for name in names}
+    return names, coords, dims, chunks, shapes
+
+
 def write_generated_netcdf(
     path: str,
     fields: np.ndarray,
@@ -282,23 +319,14 @@ def write_generated_netcdf(
     (time, lat, lon) arrays (parity with ``gen_fake_ds.py:162``'s chunked
     ``to_netcdf``). An ensemble stack (M, N, H, W, P) from
     :func:`generate_ensemble` gains a leading ``member`` dimension."""
-    ensemble = fields.ndim == 5
-    if ensemble:
+    if fields.ndim == 5:
         m, n, h, w, p = fields.shape
     else:
+        m = 0
         n, h, w, p = fields.shape
-    coords: Dict[str, np.ndarray] = {
-        "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),
-        "lat": np.arange(h, dtype=np.float64) if lats is None else np.asarray(lats),
-        "lon": np.arange(w, dtype=np.float64) if lons is None else np.asarray(lons),
-    }
-    if ensemble:
-        coords["member"] = np.arange(m, dtype=np.float64)
-    variables = {name: fields[..., i] for i, name in enumerate(var_names[:p])}
-    base_dims = ("member", "time", "lat", "lon") if ensemble else ("time", "lat", "lon")
-    dims = {name: base_dims for name in variables}
-    chunk = (min(time_chunk, n), h, w)
-    chunks = {name: ((1, *chunk) if ensemble else chunk) for name in variables}
+    names, coords, dims, chunks, _ = _generated_layout(
+        n, h, w, p, var_names, times, lats, lons, time_chunk, n_members=m)
+    variables = {name: fields[..., i] for i, name in enumerate(names)}
     write_netcdf(path, variables, dims, coords=coords, chunks=chunks)
 
 
@@ -344,30 +372,20 @@ def generate_to_netcdf(
         raise ValueError("ensemble streaming and tiled streaming are "
                          "mutually exclusive (tiled inference draws one "
                          "whole-domain latent per sample)")
+    if n_members and config.noise_channels <= 0:
+        # Validate BEFORE the writer opens (h5py "w" truncates an existing
+        # file at `path`) — same contract as generate_ensemble.
+        raise ValueError(
+            "ensemble generation needs a stochastic generator: "
+            "train with Config.noise_channels > 0")
     n, h, w, _ = coarse.shape
     sf = 2 ** config.num_upsample
     fine_h, fine_w = h * sf, w * sf
     p = config.n_predictands
-    names = list(var_names[:p])
     ensemble = n_members > 0
-
-    coords: Dict[str, np.ndarray] = {
-        "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),
-        "lat": np.arange(fine_h, dtype=np.float64) if lats is None else np.asarray(lats),
-        "lon": np.arange(fine_w, dtype=np.float64) if lons is None else np.asarray(lons),
-    }
-    if ensemble:
-        coords["member"] = np.arange(n_members, dtype=np.float64)
-    base_shape = (n, fine_h, fine_w)
-    base_dims = ("time", "lat", "lon")
-    hchunk = (min(time_chunk, n), fine_h, fine_w)
-    if ensemble:
-        base_shape = (n_members, *base_shape)
-        base_dims = ("member", *base_dims)
-        hchunk = (1, *hchunk)
-    shapes = {name: base_shape for name in names}
-    dims = {name: base_dims for name in names}
-    chunks = {name: hchunk for name in names}
+    names, coords, dims, chunks, shapes = _generated_layout(
+        n, fine_h, fine_w, p, var_names, times, lats, lons, time_chunk,
+        n_members=n_members)
 
     def write_block(wtr, start, block, member=None):
         sel = slice(start, start + block.shape[0])
@@ -378,10 +396,6 @@ def generate_to_netcdf(
     with NetCDFStreamWriter(path, shapes, dims, coords=coords,
                             chunks=chunks) as wtr:
         if ensemble:
-            if config.noise_channels <= 0:
-                raise ValueError(
-                    "ensemble generation needs a stochastic generator: "
-                    "train with Config.noise_channels > 0")
             for m in range(n_members):
                 for start, block in generate_fields_iter(
                         config, g_params, coarse, chunk_size=chunk_size,
@@ -391,9 +405,14 @@ def generate_to_netcdf(
             from downgan_tpu.parallel.spatial import tiled_sr_inference
 
             chunk = chunk_size or config.chunk_size
+            # Same guard as tiled_sr_inference: append a latent only when
+            # the caller has not pre-appended one (extra channels beyond
+            # n_covariates mean a caller-supplied latent is already there).
+            append_z = (config.noise_channels
+                        and coarse.shape[-1] == config.n_covariates)
             for start in range(0, n, chunk):
                 block_in = coarse[start : start + chunk]
-                if config.noise_channels:
+                if append_z:
                     # Whole-domain latent per sample from its ABSOLUTE
                     # index: deterministic and independent of chunking.
                     z = np.stack([

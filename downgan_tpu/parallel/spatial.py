@@ -374,14 +374,11 @@ def sharded_critic_apply(config: Config, mesh: Mesh, axis_name: str = "spatial",
     return jax.jit(apply) if jit else apply
 
 
-def build_spatial_train_step(config: Config, mesh: Mesh, axis_name: str = "spatial",
-                             with_metrics: bool = False):
-    """WGAN-GP train step with the FIELDS sharded spatially over the mesh
-    (model parallelism) instead of the batch: both network applies run
-    halo-exchanged/row-parallel under shard_map, gradients flow through
-    the collectives, and parameters stay replicated. The complement of
-    the DP step (``parallel/dp.py``) for batches of very large fields.
-    """
+def _spatially_sharded_step(config: Config, mesh: Mesh, axis_name: str,
+                            with_metrics: bool):
+    """Shared core of the SP and DPxSP step builders: guard the
+    conditional-critic gap once, wrap the halo-exchange-sharded applies
+    as model shims, and build the unjitted train step over them."""
     import types
 
     from downgan_tpu.training.wgan import build_train_step
@@ -394,9 +391,20 @@ def build_spatial_train_step(config: Config, mesh: Mesh, axis_name: str = "spati
             "critic_conditional models with the DP path")
     gen_apply = sharded_generator_apply(config, mesh, axis_name, jit=False)
     critic_apply = sharded_critic_apply(config, mesh, axis_name, jit=False)
-    gen_shim = types.SimpleNamespace(apply=gen_apply)
-    critic_shim = types.SimpleNamespace(apply=critic_apply)
-    step = build_train_step(config, gen_shim, critic_shim, with_metrics=with_metrics)
+    return build_train_step(
+        config, types.SimpleNamespace(apply=gen_apply),
+        types.SimpleNamespace(apply=critic_apply), with_metrics=with_metrics)
+
+
+def build_spatial_train_step(config: Config, mesh: Mesh, axis_name: str = "spatial",
+                             with_metrics: bool = False):
+    """WGAN-GP train step with the FIELDS sharded spatially over the mesh
+    (model parallelism) instead of the batch: both network applies run
+    halo-exchanged/row-parallel under shard_map, gradients flow through
+    the collectives, and parameters stay replicated. The complement of
+    the DP step (``parallel/dp.py``) for batches of very large fields.
+    """
+    step = _spatially_sharded_step(config, mesh, axis_name, with_metrics)
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -424,22 +432,9 @@ def build_dp_spatial_train_step(
     one chip's HBM still train data-parallel. The reference is
     hard-wired to one GPU (``DoWnGAN/config/config.py:25``).
     """
-    import types
-
     from jax.sharding import NamedSharding
 
-    from downgan_tpu.training.wgan import build_train_step
-
-    if config.critic_conditional:
-        raise NotImplementedError(
-            "the spatially-sharded train step supports the reference's "
-            "unconditional critic only; train critic_conditional models "
-            "with the DP path")
-    gen_apply = sharded_generator_apply(config, mesh, axis_name, jit=False)
-    critic_apply = sharded_critic_apply(config, mesh, axis_name, jit=False)
-    step = build_train_step(
-        config, types.SimpleNamespace(apply=gen_apply),
-        types.SimpleNamespace(apply=critic_apply), with_metrics=with_metrics)
+    step = _spatially_sharded_step(config, mesh, axis_name, with_metrics)
     rep = NamedSharding(mesh, P())
     bat = NamedSharding(mesh, P(data_axis, axis_name, None, None))
     return jax.jit(

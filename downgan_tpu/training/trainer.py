@@ -512,32 +512,39 @@ class Trainer:
         epoch loop finishes the in-flight compiled epoch — a dispatched
         scan cannot be interrupted anyway — then checkpoints the FULL
         train state and returns cleanly, so ``--resume`` continues the
-        exact trajectory (tested bit-identical). Returns the previous
-        handler, or None when not installable (non-main thread, or
-        handling disabled). The reference has no preemption story at
-        all (a kill loses the run: SURVEY §5, no-resume)."""
+        exact trajectory (tested bit-identical). Returns
+        ``(installed, previous_handler)`` — ``installed`` is False when
+        no handler could be set (non-main thread, or handling disabled);
+        ``previous_handler`` may be None even when installed (a handler
+        set by non-Python code is unretrievable). The reference has no
+        preemption story at all (a kill loses the run: SURVEY §5,
+        no-resume)."""
         import signal
         import threading
 
         if not self.handle_preemption:
-            return None
+            return False, None
         if threading.current_thread() is not threading.main_thread():
-            return None
+            return False, None
 
         def _on_term(signum, frame):
             self.preempted = True
 
         try:
-            return signal.signal(signal.SIGTERM, _on_term)
+            return True, signal.signal(signal.SIGTERM, _on_term)
         except ValueError:  # embedded interpreter corner
-            return None
+            return False, None
 
     def _should_stop(self) -> bool:
         """Epoch-boundary stop check. In multihost mode the decision is
         collective (any process preempted -> all stop at the SAME epoch),
         so the final checkpoint save — itself a collective over the
         global arrays — cannot desync when SIGTERM lands at slightly
-        different times on different hosts."""
+        different times on different hosts. With ``handle_preemption``
+        off no handler can ever set the flag, so the per-epoch
+        cross-host collective is skipped entirely."""
+        if not self.handle_preemption:
+            return False
         flag = bool(self.preempted)
         if self.multihost:
             from jax.experimental import multihost_utils
@@ -551,17 +558,28 @@ class Trainer:
     def train(self, epochs: Optional[int] = None) -> GANTrainState:
         epochs = self.config.hp.epochs if epochs is None else epochs
         base_rng = jax.random.PRNGKey(self.config.seed + 1)
-        prev_handler = self._install_preemption_handler()
+        installed, prev_handler = self._install_preemption_handler()
         try:
             self._train_loop(epochs, base_rng)
+            # Save while our SIGTERM handler is still installed: a
+            # repeated preemption signal during the (possibly long)
+            # final save must keep setting the flag, not take the
+            # default action and kill the process mid-checkpoint.
+            if self.ckpt is not None:
+                self.ckpt.save(self.epoch - 1, self.state)
+                self.ckpt.wait()
         finally:
-            if prev_handler is not None:
+            if installed:
                 import signal
 
-                signal.signal(signal.SIGTERM, prev_handler)
-        if self.ckpt is not None:
-            self.ckpt.save(self.epoch - 1, self.state)
-            self.ckpt.wait()
+                # signal.signal returned None if the previous handler
+                # was installed by non-Python code — unrestorable from
+                # here; fall back to SIG_DFL so SIGTERM terminates the
+                # process again instead of silently setting a finished
+                # Trainer's flag forever.
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
         return self.state
 
     def _train_loop(self, epochs: int, base_rng: jax.Array) -> None:
@@ -584,16 +602,25 @@ class Trainer:
                         f"(set halt_on_nonfinite=False to train through)"
                     )
 
-            if self.epoch % self.plot_every == 0:
-                self._plot_split("train", self.train_ds)
+            # Preemption check directly after the compiled train epoch
+            # (collective in multihost mode, so every process skips or
+            # runs the SAME collective test pass below): under a ~30 s
+            # preemption grace window, the test-set metric pass, plots,
+            # and best-bundle export would eat the time the final
+            # checkpoint needs.
+            stopping = self._should_stop()
 
-            if self.test_ds is not None and len(self.test_ds) > 0:
-                test_means = self._run_test_pass()
-                self._log_epoch("test", test_means)
-                if self.track_best:
-                    self._update_best(test_means)
+            if not stopping:
                 if self.epoch % self.plot_every == 0:
-                    self._plot_split("test", self.test_ds)
+                    self._plot_split("train", self.train_ds)
+
+                if self.test_ds is not None and len(self.test_ds) > 0:
+                    test_means = self._run_test_pass()
+                    self._log_epoch("test", test_means)
+                    if self.track_best:
+                        self._update_best(test_means)
+                    if self.epoch % self.plot_every == 0:
+                        self._plot_split("test", self.test_ds)
 
             if self.ckpt is not None and self.epoch % self.save_every == 0:
                 self.ckpt.save(self.epoch, self.state)
@@ -603,9 +630,12 @@ class Trainer:
                 msg = ", ".join(f"{k}={v:.4g}" for k, v in sorted(train_means.items()))
                 print(f"epoch {self.epoch} [{dt:.1f}s] {msg}", flush=True)
             self.epoch += 1
-            if self._should_stop():
+            if stopping:
                 if self.verbose and self._primary:
+                    tail = ("full state checkpointed — resume continues "
+                            "the exact trajectory" if self.ckpt is not None
+                            else "no checkpoint manager configured — "
+                            "state NOT saved")
                     print(f"preempted (SIGTERM): stopping after epoch "
-                          f"{self.epoch - 1}; full state checkpointed — "
-                          "resume continues the exact trajectory", flush=True)
+                          f"{self.epoch - 1}; {tail}", flush=True)
                 break

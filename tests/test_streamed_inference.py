@@ -94,6 +94,53 @@ def test_streamed_ensemble_matches_in_memory(tmp_path):
                            n_members=2, tile_rows=8)
 
 
+def test_validation_error_does_not_clobber_existing_file(tmp_path):
+    """Argument validation must fire BEFORE the writer opens: h5py "w"
+    truncates, so a late check would destroy a previously generated file
+    and leave full-size garbage behind."""
+    config = tiny_config(noise=0)
+    params = init_params(config)
+    coarse = np.random.default_rng(5).standard_normal(
+        (4, 8, 8, 7)).astype(np.float32)
+    out = str(tmp_path / "existing.nc")
+    generate_to_netcdf(out, config, params, coarse)
+    before = read_all(out)
+
+    with pytest.raises(ValueError, match="stochastic"):
+        generate_to_netcdf(out, config, params, coarse, n_members=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        generate_to_netcdf(out, tiny_config(noise=2),
+                           init_params(tiny_config(noise=2)), coarse,
+                           n_members=2, tile_rows=8)
+    after = read_all(out)
+    assert set(before) == set(after)
+    for k in before:
+        np.testing.assert_array_equal(before[k][0], after[k][0], err_msg=k)
+
+
+def test_streamed_tiled_accepts_preappended_latent(tmp_path):
+    """A caller-pre-appended (n, h, w, noise_channels) latent must not get
+    a second latent appended (same guard as tiled_sr_inference): the
+    channel count already exceeding n_covariates means the caller drew
+    their own realization."""
+    from downgan_tpu.parallel.spatial import tiled_sr_inference
+
+    config = tiny_config(noise=2)
+    params = init_params(config)
+    rng = np.random.default_rng(6)
+    coarse = rng.standard_normal((3, 24, 16, 7)).astype(np.float32)
+    z = rng.standard_normal((3, 24, 16, 2)).astype(np.float32)
+    with_z = np.concatenate([coarse, z], axis=-1)
+
+    whole = tiled_sr_inference(config, params, with_z, tile_rows=8, overlap=4)
+    stream = str(tmp_path / "prez.nc")
+    generate_to_netcdf(stream, config, params, with_z, chunk_size=2,
+                       tile_rows=8, overlap=4)
+    got = read_all(stream)
+    np.testing.assert_array_equal(got["u10"][0], whole[..., 0])
+    np.testing.assert_array_equal(got["v10"][0], whole[..., 1])
+
+
 def test_streamed_tiled_deterministic_matches_whole_call(tmp_path):
     """Deterministic generator: streamed tiled output == one whole-series
     tiled call (tiling is per-sample; dispatch grouping cannot change
