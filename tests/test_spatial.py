@@ -165,6 +165,39 @@ def test_spatial_train_step_matches_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_spatial_train_step_composes_with_noise_and_flips():
+    """Round-3 stochastic/augmentation features compose with the
+    spatially-sharded step: the latent injection and the flip draws both
+    happen OUTSIDE the shard_map (on the replicated rng, applied to the
+    auto-sharded batch), so a noise_channels>0 + augment_flips step must
+    produce the same losses/metrics field-sharded as on one device."""
+    from downgan_tpu.parallel.spatial import build_spatial_train_step
+    from downgan_tpu.training.state import create_state
+    from downgan_tpu.training.wgan import build_train_step
+
+    hp = HyperParams(batch_size=2, augment_flips=True,
+                     metrics_to_calculate=("MAE", "MSE", "Wass"))
+    config = Config(coarse_size=16, fine_size=128, filters=8,
+                    num_res_blocks=1, noise_channels=2, hp=hp)
+    gen, critic = make_models(config)
+    rng = jax.random.PRNGKey(7)
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 2))
+
+    plain = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+    s1, m1 = plain(create_state(config, jax.random.PRNGKey(0)), coarse, fine, rng)
+
+    mesh = make_mesh(axes=("spatial",))
+    spatial = build_spatial_train_step(config, mesh, with_metrics=True)
+    s2, m2 = spatial(create_state(config, jax.random.PRNGKey(0)), coarse, fine, rng)
+
+    for k in m1:
+        assert float(jnp.mean(m1[k])) == pytest.approx(
+            float(jnp.mean(m2[k])), rel=1e-4), k
+    for a, b in zip(jax.tree.leaves(s1.c_params), jax.tree.leaves(s2.c_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_dp_spatial_composed_step_matches_dp():
     """DP x SP in one step: batch sharded over a 4-way data axis AND
     fields halo-sharded over a 2-way spatial axis (4x2 mesh) produce the
