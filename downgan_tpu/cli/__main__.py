@@ -134,6 +134,13 @@ def cli() -> None:
 @click.option("--checkpoint-dir", default=None, help="Orbax checkpoint directory "
               "(default: <run artifact dir>/checkpoints).")
 @click.option("--resume", is_flag=True, help="Resume from the latest checkpoint.")
+@click.option("--warm-start", type=click.Path(exists=True), default=None,
+              help="Initialize the generator (and critic, if present) "
+              "from a bundle directory — `downgan export` output or an "
+              "`import-torch`ed reference checkpoint — and train from "
+              "there with fresh optimizer state. The bundle's model-shape "
+              "fields override the config. A successful --resume "
+              "supersedes this.")
 @click.option("--interactive", is_flag=True,
               help="Interactive experiment picker + run description (reference parity).")
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
@@ -201,7 +208,8 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
           lr_warmup_steps, lr_decay_steps, lr_final_factor, compute_dtype,
           augment_flips, grad_accum, schedule, synthetic, samples,
           experiment, run_name,
-          tracking_root, checkpoint_dir, resume, interactive, mesh, multihost,
+          tracking_root, checkpoint_dir, resume, warm_start, interactive,
+          mesh, multihost,
           coordinator, num_processes, process_id, host_feed, stream,
           save_every, max_checkpoints, keep_every, print_every, plot_every,
           eof_lambda, tensorboard, track_best, best_mode,
@@ -251,6 +259,31 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
     )
     if critic_conditional is not None:
         config = config.replace(critic_conditional=critic_conditional)
+    if warm_start:
+        # The bundle's model-shape fields define the network being warmed
+        # from; adopt them before datasets/models are built so
+        # `train --synthetic --warm-start <bundle>` just works.
+        wcfg_path = os.path.join(warm_start, "config.json")
+        if not os.path.exists(wcfg_path):
+            raise click.UsageError(
+                f"{warm_start} is not a bundle directory (no config.json; "
+                "expected `downgan export` / `import-torch` output)")
+        with open(wcfg_path) as f:
+            wcfg = Config.from_json(f.read())
+        config = config.replace(
+            filters=wcfg.filters, num_res_blocks=wcfg.num_res_blocks,
+            n_covariates=wcfg.n_covariates,
+            n_predictands=wcfg.n_predictands,
+            coarse_size=wcfg.coarse_size, fine_size=wcfg.fine_size,
+            generator_arch=wcfg.generator_arch,
+            noise_channels=wcfg.noise_channels)
+        has_critic = os.path.isdir(os.path.join(warm_start, "critic_params"))
+        if has_critic and config.critic_conditional != wcfg.critic_conditional:
+            raise click.UsageError(
+                "the bundle's critic was trained with "
+                f"critic_conditional={wcfg.critic_conditional}; pass a "
+                "matching --critic-conditional (or drop the bundle's "
+                "critic_params to warm-start the generator only)")
     if host_feed and stream:
         raise click.UsageError(
             "--host-feed and --stream are different residency tiers "
@@ -342,8 +375,12 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
                          if tensorboard and run is not None else None),
         track_best=track_best, best_mode=best_mode,
     )
-    if resume:
-        trainer.maybe_resume()
+    resumed = trainer.maybe_resume() if resume else False
+    if warm_start and not resumed:
+        from downgan_tpu.inference import load_bundle
+
+        _, g_params, c_params = load_bundle(warm_start)
+        trainer.warm_start(g_params, c_params)
     try:
         trainer.train()
         if run is not None:
@@ -598,6 +635,143 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
                                         use_ema=ema)
     out = write_generator_bundle(out, config, g_params)
     click.echo(f"exported {'EMA ' if ema else ''}generator bundle to {out}")
+
+
+@cli.command("import-torch")
+@click.option("--weights", required=True, type=click.Path(exists=True),
+              help="Reference (PyTorch DoWnGAN) generator checkpoint: a "
+              "state_dict .pt/.pth, or a pickled Generator module (what "
+              "mlflow.pytorch logged per epoch — mlflow_epoch.py:65-69).")
+@click.option("--critic-weights", type=click.Path(exists=True), default=None,
+              help="Optionally also import the Critic (state_dict or "
+              "pickled module) so `train --warm-start` continues the "
+              "adversarial game with the trained critic.")
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None,
+              help="Base config for data paths/region; the model-shape "
+              "fields are inferred from the torch weights and override it.")
+@click.option("--region", "-r", type=click.Choice(list(REGIONS)), default=None)
+@click.option("--out", "-o", required=True, type=click.Path(),
+              help="Output bundle directory (created).")
+def import_torch(weights, critic_weights, config_path, region, out) -> None:
+    """Import a reference (PyTorch DoWnGAN) checkpoint as a servable
+    bundle: the migration path for models trained on the upstream code.
+
+    Maps the torch state_dict onto the NHWC flax parameter tree
+    (``utils/port_weights.py`` — OIHW→HWIO kernels, the critic's
+    NCHW→NHWC classifier permutation), infers the architecture from the
+    weights themselves, and writes the ``downgan export`` bundle layout,
+    so ``serve`` / ``generate`` / ``evaluate`` load it with just
+    ``--checkpoint <out>`` and ``train --warm-start <out>`` continues
+    training it on TPU. Forward parity of ported weights is pinned to
+    2e-5 against the reference nets (tests/test_parity_reference.py).
+    """
+    import numpy as np
+
+    try:
+        import torch
+    except ImportError:
+        raise click.UsageError(
+            "import-torch needs the `torch` package to read the "
+            "checkpoint (CPU build is enough)")
+
+    from downgan_tpu.utils.port_weights import (
+        infer_critic_arch,
+        infer_generator_arch,
+        port_critic,
+        port_generator,
+    )
+
+    def load_state_dict(path):
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # A pickled module (mlflow.pytorch's model.pth) rather than a
+            # bare state_dict.
+            try:
+                obj = torch.load(path, map_location="cpu",
+                                 weights_only=False)
+            except ModuleNotFoundError as e:
+                raise click.UsageError(
+                    f"{path} is a pickled torch module and unpickling "
+                    f"needs its defining package ({e.name}) importable — "
+                    "put the reference DoWnGAN checkout on PYTHONPATH, or "
+                    "re-save the checkpoint as a bare state_dict "
+                    "(torch.save(model.state_dict(), ...))")
+        if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+            obj = obj.state_dict()
+        if not isinstance(obj, dict):
+            raise click.UsageError(
+                f"{path} is neither a state_dict nor a torch module")
+        return {k: np.asarray(v.detach().cpu().numpy()
+                              if hasattr(v, "detach") else v)
+                for k, v in obj.items()}
+
+    sd = load_state_dict(weights)
+    try:
+        arch = infer_generator_arch(sd)
+    except ValueError as e:
+        raise click.UsageError(str(e))
+    config = _load_config(config_path, region).replace(
+        filters=arch["filters"], n_covariates=arch["n_covariates"],
+        n_predictands=arch["n_predictands"],
+        num_res_blocks=arch["num_res_blocks"],
+        generator_arch="rrdb", noise_channels=0,
+    )
+    sf = 2 ** arch["num_upsample"]
+    g_params = port_generator(sd, num_res_blocks=arch["num_res_blocks"],
+                              num_upsample=arch["num_upsample"])
+
+    c_params = None
+    if critic_weights:
+        csd = load_state_dict(critic_weights)
+        try:
+            carch = infer_critic_arch(csd)
+        except ValueError as e:
+            raise click.UsageError(str(e))
+        if carch["n_predictands"] != arch["n_predictands"]:
+            raise click.UsageError(
+                f"critic takes {carch['n_predictands']} channels but the "
+                f"generator predicts {arch['n_predictands']} — not a "
+                "matching (unconditional) pair")
+        config = config.replace(fine_size=carch["fine_size"],
+                                coarse_size=carch["fine_size"] // sf,
+                                critic_conditional=False)
+        c_params = port_critic(csd, base=carch["filters"],
+                               fine_size=carch["fine_size"])
+    else:
+        config = config.replace(coarse_size=config.fine_size // sf)
+
+    # Validate the ported tree against the flax model definition (a
+    # mis-mapped key fails here, not at serve time) with a real forward.
+    import jax
+    import jax.numpy as jnp
+
+    from downgan_tpu.training.state import make_models
+
+    gen, critic = make_models(config)
+    probe = jnp.zeros((1, config.coarse_size, config.coarse_size,
+                       config.n_covariates), jnp.float32)
+    fields = jax.eval_shape(gen.apply, g_params, probe)
+    if fields.shape != (1, config.fine_size, config.fine_size,
+                        config.n_predictands):
+        raise click.UsageError(
+            f"ported generator produces {fields.shape}, expected "
+            f"(1, {config.fine_size}, {config.fine_size}, "
+            f"{config.n_predictands})")
+    if c_params is not None:
+        jax.eval_shape(critic.apply, c_params,
+                       jnp.zeros((1, config.fine_size, config.fine_size,
+                                  config.n_predictands), jnp.float32))
+
+    from downgan_tpu.inference import write_generator_bundle
+
+    out = write_generator_bundle(out, config, g_params, c_params=c_params)
+    n_g = sum(int(np.prod(np.shape(l))) for l in jax.tree.leaves(g_params))
+    click.echo(
+        f"imported generator ({arch['filters']} filters, "
+        f"{arch['num_res_blocks']} RRDBs, {sf}x upsample, {n_g:,} params"
+        + (", + critic" if c_params is not None else "")
+        + f") to {out}")
 
 
 @cli.command()

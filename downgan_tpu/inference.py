@@ -137,7 +137,8 @@ def restore_generator_params(
     return state.g_params
 
 
-def write_generator_bundle(out_dir: str, config: Config, g_params) -> str:
+def write_generator_bundle(out_dir: str, config: Config, g_params,
+                           c_params=None) -> str:
     """Write a self-contained servable generator bundle: weights-only
     ``<out>/params`` (Orbax) + ``<out>/config.json``.
 
@@ -146,15 +147,53 @@ def write_generator_bundle(out_dir: str, config: Config, g_params) -> str:
     weights-only per-epoch artifacts, ``mlflow_tools/mlflow_epoch.py:65-69``).
     Used by the ``export`` CLI and the Trainer's best-checkpoint tracking.
     Idempotent: re-saving over an existing bundle replaces it.
+
+    ``c_params`` additionally writes ``<out>/critic_params`` — serving
+    ignores it, but ``train --warm-start`` picks it up so an imported
+    reference run (``downgan import-torch --critic-weights``) continues
+    training with its trained critic instead of a fresh one.
     """
     from downgan_tpu.utils.checkpoint import save_params
 
     out = os.path.abspath(out_dir)
     os.makedirs(out, exist_ok=True)
     save_params(os.path.join(out, "params"), g_params)
+    if c_params is not None:
+        save_params(os.path.join(out, "critic_params"), c_params)
     with open(os.path.join(out, "config.json"), "w") as f:
         f.write(config.to_json())
     return out
+
+
+def load_bundle(bundle_dir: str):
+    """Load an exported/imported bundle directory: returns
+    ``(config, g_params, c_params_or_None)``. Params restore against
+    templates built from the bundle's own config, so a corrupted or
+    mismatched bundle fails loudly instead of mis-shaping the model."""
+    bundle = os.path.abspath(bundle_dir)
+    cfg_path = os.path.join(bundle, "config.json")
+    params_path = os.path.join(bundle, "params")
+    if not (os.path.exists(cfg_path) and os.path.isdir(params_path)):
+        raise FileNotFoundError(
+            f"{bundle_dir} is not a bundle directory (expected params/ + "
+            "config.json, the `downgan export` / `import-torch` layout)")
+    with open(cfg_path) as f:
+        config = Config.from_json(f.read())
+    gen, critic = make_models(config)
+    g_tmpl = gen.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, config.coarse_size, config.coarse_size,
+                   config.generator_in_channels)))
+    g_params = load_params(params_path, g_tmpl)
+    c_params = None
+    c_path = os.path.join(bundle, "critic_params")
+    if os.path.isdir(c_path):
+        c_tmpl = critic.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, config.fine_size, config.fine_size,
+                       config.critic_in_channels)))
+        c_params = load_params(c_path, c_tmpl)
+    return config, g_params, c_params
 
 
 def generate_fields(

@@ -322,6 +322,50 @@ class Trainer:
                   f"continuing at epoch {self.epoch}")
         return True
 
+    def warm_start(self, g_params, c_params=None) -> None:
+        """Start training from pretrained weights — e.g. a servable bundle
+        or a ported reference torch checkpoint (``downgan import-torch``):
+        replaces the fresh state's generator (and optionally critic)
+        params and resets the EMA trace to the loaded weights. Optimizer
+        states and the step counter stay at zero (Adam moments from a
+        different framework/run are not transferable), so schedules and
+        the n_critic cadence begin fresh. Call before training (and after
+        ``maybe_resume`` — a successful resume supersedes warm start)."""
+
+        def _place(new_tree, old_tree):
+            # Match each loaded leaf to the fresh state's dtype and
+            # placement; tree.map fails loudly on a structure mismatch.
+            def leaf(n, o):
+                x = jnp.asarray(n, o.dtype)
+                if x.shape != o.shape:
+                    raise ValueError(
+                        f"warm-start param shape {x.shape} != model "
+                        f"{o.shape} — the bundle was built for a "
+                        "different architecture")
+                if self.multihost:
+                    from jax.experimental import multihost_utils
+                    from jax.sharding import PartitionSpec
+
+                    return multihost_utils.host_local_array_to_global_array(
+                        np.asarray(x), self.mesh, PartitionSpec())
+                if self.mesh is not None:
+                    return jax.device_put(x, o.sharding)
+                return x
+
+            return jax.tree.map(leaf, new_tree, old_tree)
+
+        g = _place(g_params, self.state.g_params)
+        updates = dict(g_params=g)
+        if self.state.g_ema is not None:
+            updates["g_ema"] = g
+        if c_params is not None:
+            updates["c_params"] = _place(c_params, self.state.c_params)
+        self.state = self.state.replace(**updates)
+        if self.verbose and self._primary:
+            what = "generator+critic" if c_params is not None else "generator"
+            print(f"warm start: {what} params loaded; optimizer state and "
+                  "step counter start fresh", flush=True)
+
     # -- epoch internals ----------------------------------------------
     def _epoch_rng(self) -> np.random.Generator:
         """Permutations are a pure function of (seed, epoch): training is

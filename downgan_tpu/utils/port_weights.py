@@ -130,3 +130,69 @@ def export_critic(params: Mapping, base: int = 16, fine_size: int = 128) -> Dict
     out["classifier.2.weight"] = np.transpose(np.asarray(p["fc2"]["kernel"]))
     out["classifier.2.bias"] = np.asarray(p["fc2"]["bias"])
     return out
+
+
+def infer_generator_arch(sd: StateDict) -> Dict[str, int]:
+    """Read the Generator architecture off a reference state_dict, so
+    ``downgan import-torch`` reconstructs the model without the user
+    re-specifying shapes (the reference stores them nowhere —
+    ``networks/generator.py:10-24`` takes them as constructor args).
+
+    Returns ``filters``, ``n_covariates``, ``n_predictands``,
+    ``num_res_blocks`` and ``num_upsample``; raises a ``ValueError``
+    naming the missing key for non-DoWnGAN state dicts.
+    """
+    try:
+        conv1 = np.asarray(sd["conv1.weight"])  # OIHW
+        head = np.asarray(sd["conv3.2.weight"])
+    except KeyError as e:
+        raise ValueError(
+            f"not a DoWnGAN Generator state_dict: missing key {e}") from e
+    blocks = {
+        int(k.split(".")[1]) for k in sd if k.startswith("res_blocks.")
+    }
+    ups = {
+        int(k.split(".")[1]) for k in sd if k.startswith("upsampling.")
+    }
+    if not blocks or not ups:
+        raise ValueError(
+            "not a DoWnGAN Generator state_dict: no res_blocks.*/"
+            "upsampling.* keys")
+    # One conv per upsample stage at torch Sequential indices 0, 3, 6, ...
+    # (the LeakyReLU/PixelShuffle slots between carry no params).
+    if ups != {3 * u for u in range(len(ups))}:
+        raise ValueError(
+            f"unexpected upsampling conv indices {sorted(ups)} — not the "
+            "DoWnGAN Sequential layout (convs at 0, 3, 6, ...)")
+    return {
+        "filters": int(conv1.shape[0]),
+        "n_covariates": int(conv1.shape[1]),
+        "n_predictands": int(head.shape[0]),
+        "num_res_blocks": max(blocks) + 1,
+        "num_upsample": len(ups),
+    }
+
+
+def infer_critic_arch(sd: StateDict) -> Dict[str, int]:
+    """Read the Critic architecture off a reference state_dict
+    (``networks/critic.py:9-40``): base filter count and predictand count
+    from the first conv, ``fine_size`` from the first classifier layer's
+    input width (``8*base*(fine/16)^2``)."""
+    try:
+        conv0 = np.asarray(sd["features.0.weight"])  # OIHW
+        fc0 = np.asarray(sd["classifier.0.weight"])  # (out, in)
+    except KeyError as e:
+        raise ValueError(
+            f"not a DoWnGAN Critic state_dict: missing key {e}") from e
+    base = int(conv0.shape[0])
+    spatial_sq = fc0.shape[1] / (8 * base)
+    spatial = int(round(spatial_sq ** 0.5))
+    if spatial * spatial * 8 * base != fc0.shape[1]:
+        raise ValueError(
+            f"classifier.0 input width {fc0.shape[1]} is not "
+            f"8*{base}*s^2 for integer s — not a DoWnGAN Critic layout")
+    return {
+        "filters": base,
+        "n_predictands": int(conv0.shape[1]),
+        "fine_size": spatial * 16,
+    }
