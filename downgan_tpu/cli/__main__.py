@@ -259,17 +259,19 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
     )
     if critic_conditional is not None:
         config = config.replace(critic_conditional=critic_conditional)
+    warm = None
     if warm_start:
-        # The bundle's model-shape fields define the network being warmed
-        # from; adopt them before datasets/models are built so
-        # `train --synthetic --warm-start <bundle>` just works.
-        wcfg_path = os.path.join(warm_start, "config.json")
-        if not os.path.exists(wcfg_path):
-            raise click.UsageError(
-                f"{warm_start} is not a bundle directory (no config.json; "
-                "expected `downgan export` / `import-torch` output)")
-        with open(wcfg_path) as f:
-            wcfg = Config.from_json(f.read())
+        # Load the bundle up front (one parse, one restore; a missing or
+        # corrupt bundle fails here, before any staging/compile work) and
+        # adopt its model-shape fields so datasets and models are built
+        # for the network being warmed from — `train --synthetic
+        # --warm-start <bundle>` just works.
+        from downgan_tpu.inference import load_bundle
+
+        try:
+            wcfg, w_g, w_c = load_bundle(warm_start)
+        except FileNotFoundError as e:
+            raise click.UsageError(str(e))
         config = config.replace(
             filters=wcfg.filters, num_res_blocks=wcfg.num_res_blocks,
             n_covariates=wcfg.n_covariates,
@@ -277,13 +279,13 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
             coarse_size=wcfg.coarse_size, fine_size=wcfg.fine_size,
             generator_arch=wcfg.generator_arch,
             noise_channels=wcfg.noise_channels)
-        has_critic = os.path.isdir(os.path.join(warm_start, "critic_params"))
-        if has_critic and config.critic_conditional != wcfg.critic_conditional:
+        if w_c is not None and config.critic_conditional != wcfg.critic_conditional:
             raise click.UsageError(
                 "the bundle's critic was trained with "
                 f"critic_conditional={wcfg.critic_conditional}; pass a "
                 "matching --critic-conditional (or drop the bundle's "
                 "critic_params to warm-start the generator only)")
+        warm = (w_g, w_c)
     if host_feed and stream:
         raise click.UsageError(
             "--host-feed and --stream are different residency tiers "
@@ -376,11 +378,8 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         track_best=track_best, best_mode=best_mode,
     )
     resumed = trainer.maybe_resume() if resume else False
-    if warm_start and not resumed:
-        from downgan_tpu.inference import load_bundle
-
-        _, g_params, c_params = load_bundle(warm_start)
-        trainer.warm_start(g_params, c_params)
+    if warm is not None and not resumed:
+        trainer.warm_start(*warm)
     try:
         trainer.train()
         if run is not None:

@@ -158,8 +158,16 @@ def write_generator_bundle(out_dir: str, config: Config, g_params,
     out = os.path.abspath(out_dir)
     os.makedirs(out, exist_ok=True)
     save_params(os.path.join(out, "params"), g_params)
+    c_path = os.path.join(out, "critic_params")
     if c_params is not None:
-        save_params(os.path.join(out, "critic_params"), c_params)
+        save_params(c_path, c_params)
+    elif os.path.isdir(c_path):
+        # Idempotent replace means FULLY replace: a generator-only re-save
+        # over an imported bundle must not leave a stale critic behind for
+        # --warm-start to silently pick up.
+        import shutil
+
+        shutil.rmtree(c_path)
     with open(os.path.join(out, "config.json"), "w") as f:
         f.write(config.to_json())
     return out
@@ -180,16 +188,18 @@ def load_bundle(bundle_dir: str):
     with open(cfg_path) as f:
         config = Config.from_json(f.read())
     gen, critic = make_models(config)
-    g_tmpl = gen.init(
-        jax.random.PRNGKey(0),
+    # Abstract templates (eval_shape) — orbax only needs the tree
+    # structure and shapes/dtypes; no concrete init compute.
+    g_tmpl = jax.eval_shape(
+        gen.init, jax.random.PRNGKey(0),
         jnp.zeros((1, config.coarse_size, config.coarse_size,
                    config.generator_in_channels)))
     g_params = load_params(params_path, g_tmpl)
     c_params = None
     c_path = os.path.join(bundle, "critic_params")
     if os.path.isdir(c_path):
-        c_tmpl = critic.init(
-            jax.random.PRNGKey(0),
+        c_tmpl = jax.eval_shape(
+            critic.init, jax.random.PRNGKey(0),
             jnp.zeros((1, config.fine_size, config.fine_size,
                        config.critic_in_channels)))
         c_params = load_params(c_path, c_tmpl)

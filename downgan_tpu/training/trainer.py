@@ -357,7 +357,11 @@ class Trainer:
         g = _place(g_params, self.state.g_params)
         updates = dict(g_params=g)
         if self.state.g_ema is not None:
-            updates["g_ema"] = g
+            # Distinct buffers, not an alias: the step fns donate the
+            # state (donate_argnums), and donating the same buffer as
+            # both g_params and g_ema is an XLA error. create_state
+            # copies for the same reason (state.py).
+            updates["g_ema"] = jax.tree.map(jnp.copy, g)
         if c_params is not None:
             updates["c_params"] = _place(c_params, self.state.c_params)
         self.state = self.state.replace(**updates)
@@ -674,7 +678,14 @@ class Trainer:
                 msg = ", ".join(f"{k}={v:.4g}" for k, v in sorted(train_means.items()))
                 print(f"epoch {self.epoch} [{dt:.1f}s] {msg}", flush=True)
             self.epoch += 1
-            if stopping:
+            # Re-check at the loop bottom so a SIGTERM that lands DURING
+            # the test pass / plots / save stops now rather than after one
+            # more full compiled train epoch. Collective-consistent: when
+            # `stopping` is already True it is True on every process (the
+            # first check was collective) and the short-circuit skips the
+            # second collective everywhere; when False everywhere, every
+            # process runs the second collective check at this same point.
+            if stopping or self._should_stop():
                 if self.verbose and self._primary:
                     tail = ("full state checkpointed — resume continues "
                             "the exact trajectory" if self.ckpt is not None

@@ -194,6 +194,55 @@ def test_train_warm_start_from_imported_bundle(tmp_path, torch_nets):
     assert "warm start: generator+critic params loaded" in res.output
 
 
+def test_warm_start_with_ema_trains_under_donation(tmp_path):
+    """EMA on: warm_start must give g_ema its OWN buffers — the step fns
+    donate the state, and aliasing g_params/g_ema makes XLA reject the
+    donation ('same buffer twice') on the first step."""
+    import jax
+
+    from downgan_tpu.config.config import Config, HyperParams
+    from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
+    from downgan_tpu.training.state import create_state
+    from downgan_tpu.training.trainer import Trainer
+
+    hp = HyperParams(batch_size=4, epochs=1, ema_decay=0.99,
+                     metrics_to_calculate=("MAE", "MSE", "Wass"))
+    config = Config(coarse_size=8, fine_size=64, filters=8,
+                    num_res_blocks=1, hp=hp)
+    donor = create_state(config, jax.random.PRNGKey(7))
+    coarse, fine = synthetic_dataset(n_samples=8, coarse_size=8, fine_size=64)
+    trainer = Trainer(config, DeviceDataset.from_numpy(coarse, fine),
+                      verbose=False, handle_preemption=False)
+    trainer.warm_start(donor.g_params, donor.c_params)
+    for a, b in zip(jax.tree.leaves(trainer.state.g_ema),
+                    jax.tree.leaves(donor.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state = trainer.train()  # donation would raise here if aliased
+    assert int(state.step) == 2
+
+
+def test_generator_only_resave_drops_stale_critic(tmp_path):
+    """Re-saving a generator-only bundle over one that carried critic
+    params must remove them: a later --warm-start would otherwise pick up
+    a critic unrelated to the new generator."""
+    import jax
+
+    from downgan_tpu.config.config import Config, HyperParams
+    from downgan_tpu.inference import load_bundle, write_generator_bundle
+    from downgan_tpu.training.state import create_state
+
+    config = Config(coarse_size=8, fine_size=64, filters=8,
+                    num_res_blocks=1,
+                    hp=HyperParams(metrics_to_calculate=("MAE",)))
+    state = create_state(config, jax.random.PRNGKey(0))
+    out = str(tmp_path / "bundle")
+    write_generator_bundle(out, config, state.g_params,
+                           c_params=state.c_params)
+    assert load_bundle(out)[2] is not None
+    write_generator_bundle(out, config, state.g_params)  # generator-only
+    assert load_bundle(out)[2] is None
+
+
 def test_warm_start_shape_mismatch_fails_loudly(tmp_path):
     """A bundle built for a different architecture must be rejected at
     warm-start time, not train garbage."""

@@ -139,3 +139,30 @@ def test_sigterm_subprocess_graceful_checkpoint_and_resume(tmp_path):
     mngr = CheckpointManager(ckpt_dir)
     assert mngr.latest_step() == last + 2
     mngr.close()
+
+
+def test_sigterm_during_test_pass_stops_this_epoch(tmp_path):
+    """A SIGTERM landing DURING the per-epoch test pass (after the
+    post-epoch preemption check already said 'keep going') must stop at
+    THIS epoch boundary — not run one more full compiled train epoch
+    under the preemption grace window."""
+    config = tiny_config(epochs=6)
+    train_ds, test_ds = tiny_datasets()
+    trainer = Trainer(config, train_ds, test_ds, verbose=False)
+
+    real_test_pass = trainer._run_test_pass
+    fired = {"epoch": None}
+
+    def preempt_during_test_pass():
+        out = real_test_pass()
+        if trainer.epoch == 1 and fired["epoch"] is None:
+            fired["epoch"] = trainer.epoch
+            trainer.preempted = True  # what the SIGTERM handler does
+        return out
+
+    trainer._run_test_pass = preempt_during_test_pass
+    trainer.train()
+    assert fired["epoch"] == 1
+    # Stopped after epoch 1 (self.epoch is the NEXT epoch), not epoch 2.
+    assert trainer.epoch == 2
+    assert trainer.preempted
