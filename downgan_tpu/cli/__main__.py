@@ -636,6 +636,55 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
     click.echo(f"exported {'EMA ' if ema else ''}generator bundle to {out}")
 
 
+@cli.command("export-torch")
+@click.option("--config", "config_path", type=click.Path(exists=True), default=None)
+@click.option("--checkpoint", "-c", default=None,
+              help="Checkpoint directory or exported bundle.")
+@click.option("--run", "run_id", default=None,
+              help="Tracked run id (resolved like generate --run).")
+@click.option("--tracking-root", default="experiments")
+@click.option("--epoch", "-e", type=int, default=None,
+              help="Checkpoint step (default: latest).")
+@click.option("--ema", is_flag=True,
+              help="Export the EMA generator weights.")
+@click.option("--out", "-o", required=True, type=click.Path(),
+              help="Output torch state_dict file (.pt).")
+def export_torch(config_path, checkpoint, run_id, tracking_root, epoch,
+                 ema, out) -> None:
+    """Export a trained generator as a reference-layout torch state_dict
+    — the inverse of ``import-torch`` (round-trip pinned in
+    tests/test_parity_reference.py): load it upstream with
+    ``Generator(filters, fine, channels, preds, num_res_blocks=N)
+    .load_state_dict(torch.load(out))`` — for stochastic models
+    (``noise_channels > 0``) pass ``channels = covariates + noise``."""
+    import numpy as np
+
+    try:
+        import torch
+    except ImportError:
+        raise click.UsageError(
+            "export-torch needs the `torch` package to write the "
+            "state_dict (CPU build is enough)")
+
+    from downgan_tpu.inference import restore_generator_params
+    from downgan_tpu.utils.port_weights import export_generator
+
+    config, checkpoint, _, bundle = _resolve_source_config(
+        config_path, None, checkpoint, run_id, tracking_root)
+    if config.generator_arch != "rrdb":
+        raise click.UsageError(
+            "export-torch maps the reference RRDB layout only; "
+            f"this model is generator_arch={config.generator_arch!r}")
+    g_params = restore_generator_params(config, checkpoint, step=epoch,
+                                        weights_only=bundle, use_ema=ema)
+    sd = export_generator(g_params, num_res_blocks=config.num_res_blocks,
+                          num_upsample=config.num_upsample)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, out)
+    click.echo(f"exported {'EMA ' if ema else ''}generator "
+               f"({len(sd)} tensors, reference torch layout) to {out}")
+
+
 @cli.command("import-torch")
 @click.option("--weights", required=True, type=click.Path(exists=True),
               help="Reference (PyTorch DoWnGAN) generator checkpoint: a "

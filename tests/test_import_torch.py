@@ -194,6 +194,50 @@ def test_train_warm_start_from_imported_bundle(tmp_path, torch_nets):
     assert "warm start: generator+critic params loaded" in res.output
 
 
+@needs_reference
+def test_export_torch_cli_loads_into_reference_net(tmp_path, torch_nets):
+    """The inverse direction: export a (flax-initialized) bundle as a
+    torch state_dict, load it into the ACTUAL reference Generator with
+    strict=True, and pin forward parity."""
+    torch, tg, _ = torch_nets
+    from click.testing import CliRunner
+
+    import jax
+    import jax.numpy as jnp
+
+    from downgan_tpu.cli.__main__ import cli
+    from downgan_tpu.config.config import Config, HyperParams
+    from downgan_tpu.inference import write_generator_bundle
+    from downgan_tpu.training.state import create_state, make_models
+
+    config = Config(coarse_size=8, fine_size=64, filters=8,
+                    num_res_blocks=2, scale_factor=8,
+                    hp=HyperParams(metrics_to_calculate=("MAE",)))
+    state = create_state(config, jax.random.PRNGKey(3))
+    bundle = str(tmp_path / "bundle")
+    write_generator_bundle(bundle, config, state.g_params)
+
+    out = str(tmp_path / "generator.pt")
+    res = CliRunner().invoke(cli, [
+        "export-torch", "-c", bundle, "-o", out])
+    assert res.exit_code == 0, res.output
+
+    sys.path.insert(0, REFERENCE) if REFERENCE not in sys.path else None
+    from DoWnGAN.networks.generator import Generator as TorchGen
+
+    tg2 = TorchGen(8, 64, 7, 2, num_res_blocks=2).eval()
+    tg2.load_state_dict(torch.load(out, weights_only=True), strict=True)
+
+    gen, _ = make_models(config)
+    x = np.random.default_rng(4).standard_normal((2, 7, 8, 8)).astype(np.float32)
+    ours = np.asarray(jax.jit(gen.apply)(
+        state.g_params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    with torch.no_grad():
+        ref = tg2(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_warm_start_with_ema_trains_under_donation(tmp_path):
     """EMA on: warm_start must give g_ema its OWN buffers — the step fns
     donate the state, and aliasing g_params/g_ema makes XLA reject the
