@@ -259,19 +259,24 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
     )
     if critic_conditional is not None:
         config = config.replace(critic_conditional=critic_conditional)
-    warm = None
     if warm_start:
-        # Load the bundle up front (one parse, one restore; a missing or
-        # corrupt bundle fails here, before any staging/compile work) and
-        # adopt its model-shape fields so datasets and models are built
-        # for the network being warmed from — `train --synthetic
-        # --warm-start <bundle>` just works.
-        from downgan_tpu.inference import load_bundle
-
-        try:
-            wcfg, w_g, w_c = load_bundle(warm_start)
-        except FileNotFoundError as e:
-            raise click.UsageError(str(e))
+        # Validate the bundle layout and adopt its model-shape fields up
+        # front (cheap: config.json parse + directory checks, no orbax
+        # IO) so datasets and models are built for the network being
+        # warmed from — `train --synthetic --warm-start <bundle>` just
+        # works. The params themselves load lazily AFTER the resume
+        # decision: a restart loop running `--resume --warm-start` must
+        # neither pay a bundle restore it discards nor fail if the
+        # bundle was cleaned up once training got going.
+        wcfg_path = os.path.join(warm_start, "config.json")
+        if not (os.path.exists(wcfg_path)
+                and os.path.isdir(os.path.join(warm_start, "params"))):
+            raise click.UsageError(
+                f"{warm_start} is not a bundle directory (expected "
+                "params/ + config.json, the `downgan export` / "
+                "`import-torch` layout)")
+        with open(wcfg_path) as f:
+            wcfg = Config.from_json(f.read())
         config = config.replace(
             filters=wcfg.filters, num_res_blocks=wcfg.num_res_blocks,
             n_covariates=wcfg.n_covariates,
@@ -279,13 +284,13 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
             coarse_size=wcfg.coarse_size, fine_size=wcfg.fine_size,
             generator_arch=wcfg.generator_arch,
             noise_channels=wcfg.noise_channels)
-        if w_c is not None and config.critic_conditional != wcfg.critic_conditional:
+        has_critic = os.path.isdir(os.path.join(warm_start, "critic_params"))
+        if has_critic and config.critic_conditional != wcfg.critic_conditional:
             raise click.UsageError(
                 "the bundle's critic was trained with "
                 f"critic_conditional={wcfg.critic_conditional}; pass a "
                 "matching --critic-conditional (or drop the bundle's "
                 "critic_params to warm-start the generator only)")
-        warm = (w_g, w_c)
     if host_feed and stream:
         raise click.UsageError(
             "--host-feed and --stream are different residency tiers "
@@ -378,8 +383,14 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         track_best=track_best, best_mode=best_mode,
     )
     resumed = trainer.maybe_resume() if resume else False
-    if warm is not None and not resumed:
-        trainer.warm_start(*warm)
+    if warm_start and not resumed:
+        from downgan_tpu.inference import load_bundle
+
+        try:
+            _, w_g, w_c = load_bundle(warm_start)
+        except FileNotFoundError as e:
+            raise click.UsageError(str(e))
+        trainer.warm_start(w_g, w_c)
     try:
         trainer.train()
         if run is not None:
@@ -675,12 +686,19 @@ def export_torch(config_path, checkpoint, run_id, tracking_root, epoch,
         raise click.UsageError(
             "export-torch maps the reference RRDB layout only; "
             f"this model is generator_arch={config.generator_arch!r}")
+    if ema and bundle:
+        raise click.UsageError(
+            "an exported bundle holds ONE set of params (EMA already "
+            "baked in if it was exported with --ema); drop --ema, or "
+            "export-torch from the full Trainer checkpoint directory")
     g_params = restore_generator_params(config, checkpoint, step=epoch,
                                         weights_only=bundle, use_ema=ema)
     sd = export_generator(g_params, num_res_blocks=config.num_res_blocks,
                           num_upsample=config.num_upsample)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                for k, v in sd.items()}, out)
+    # np.array: a writable contiguous copy (from_numpy warns on the
+    # read-only views orbax restores hand back).
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               out)
     click.echo(f"exported {'EMA ' if ema else ''}generator "
                f"({len(sd)} tensors, reference torch layout) to {out}")
 

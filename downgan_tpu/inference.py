@@ -124,6 +124,12 @@ def restore_generator_params(
                 "single set of params — an epoch/step cannot be selected. "
                 "Use the full Trainer checkpoint directory to restore a "
                 "specific epoch.")
+        if use_ema:
+            raise ValueError(
+                "weights-only checkpoints (and exported bundles) hold one "
+                "set of params — if the bundle was exported with --ema "
+                "those already ARE the EMA weights; drop --ema (restore "
+                "EMA from the full Trainer checkpoint directory instead)")
         return load_params(checkpoint_dir, template)
     from downgan_tpu.training.state import create_state
 
@@ -157,10 +163,14 @@ def write_generator_bundle(out_dir: str, config: Config, g_params,
 
     out = os.path.abspath(out_dir)
     os.makedirs(out, exist_ok=True)
+    # Save as host arrays: a bundle is a PORTABLE artifact, and orbax
+    # records device-array shardings in the checkpoint, which would pin
+    # the restore to the saving machine's topology.
+    g_params = jax.tree.map(np.asarray, g_params)
     save_params(os.path.join(out, "params"), g_params)
     c_path = os.path.join(out, "critic_params")
     if c_params is not None:
-        save_params(c_path, c_params)
+        save_params(c_path, jax.tree.map(np.asarray, c_params))
     elif os.path.isdir(c_path):
         # Idempotent replace means FULLY replace: a generator-only re-save
         # over an imported bundle must not leave a stale critic behind for
@@ -188,20 +198,31 @@ def load_bundle(bundle_dir: str):
     with open(cfg_path) as f:
         config = Config.from_json(f.read())
     gen, critic = make_models(config)
+
     # Abstract templates (eval_shape) — orbax only needs the tree
-    # structure and shapes/dtypes; no concrete init compute.
-    g_tmpl = jax.eval_shape(
+    # structure and shapes/dtypes; no concrete init compute. The explicit
+    # LOCAL sharding makes restore topology-independent: without it orbax
+    # falls back to the sharding recorded at save time, which breaks for
+    # bundles written from device arrays on a different machine/mesh.
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def abstract(tree):
+        return jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev),
+            tree)
+
+    g_tmpl = abstract(jax.eval_shape(
         gen.init, jax.random.PRNGKey(0),
         jnp.zeros((1, config.coarse_size, config.coarse_size,
-                   config.generator_in_channels)))
+                   config.generator_in_channels))))
     g_params = load_params(params_path, g_tmpl)
     c_params = None
     c_path = os.path.join(bundle, "critic_params")
     if os.path.isdir(c_path):
-        c_tmpl = jax.eval_shape(
+        c_tmpl = abstract(jax.eval_shape(
             critic.init, jax.random.PRNGKey(0),
             jnp.zeros((1, config.fine_size, config.fine_size,
-                       config.critic_in_channels)))
+                       config.critic_in_channels))))
         c_params = load_params(c_path, c_tmpl)
     return config, g_params, c_params
 

@@ -287,6 +287,74 @@ def test_generator_only_resave_drops_stale_critic(tmp_path):
     assert load_bundle(out)[2] is None
 
 
+def test_bundle_restores_on_a_different_device_topology(tmp_path):
+    """Bundles are PORTABLE artifacts: one written from params living on
+    device 5 of this 8-device mesh must restore in a fresh 1-device
+    process (orbax records device-array shardings at save time; the
+    writer converts to host arrays and the loader restores onto the
+    local device, so neither side pins the topology)."""
+    import subprocess
+    import sys
+
+    import jax
+
+    from downgan_tpu.config.config import Config, HyperParams
+    from downgan_tpu.inference import write_generator_bundle
+    from downgan_tpu.training.state import create_state
+
+    config = Config(coarse_size=8, fine_size=64, filters=8,
+                    num_res_blocks=1,
+                    hp=HyperParams(metrics_to_calculate=("MAE",)))
+    state = create_state(config, jax.random.PRNGKey(1))
+    shifted = jax.device_put(state.g_params, jax.devices()[-1])
+    out = str(tmp_path / "bundle")
+    write_generator_bundle(out, config, shifted,
+                           c_params=jax.device_put(state.c_params,
+                                                   jax.devices()[-1]))
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__)),
+         env.get("PYTHONPATH", "")])
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from downgan_tpu.inference import load_bundle\n"
+        f"config, g, c = load_bundle({out!r})\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "assert c is not None\n"
+        "print('restored', sum(x.size for x in jax.tree.leaves(g)))\n")
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, timeout=300)
+    assert res.returncode == 0, res.stderr.decode()[-3000:]
+    assert b"restored" in res.stdout
+
+
+def test_export_torch_ema_on_bundle_rejected(tmp_path):
+    """--ema on a bundle source must error, not silently export the
+    bundle's (possibly non-EMA) weights under an 'EMA' label."""
+    import jax
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+    from downgan_tpu.config.config import Config, HyperParams
+    from downgan_tpu.inference import write_generator_bundle
+    from downgan_tpu.training.state import create_state
+
+    config = Config(coarse_size=8, fine_size=64, filters=8,
+                    num_res_blocks=1,
+                    hp=HyperParams(metrics_to_calculate=("MAE",)))
+    state = create_state(config, jax.random.PRNGKey(0))
+    bundle = str(tmp_path / "bundle")
+    write_generator_bundle(bundle, config, state.g_params)
+    res = CliRunner().invoke(cli, [
+        "export-torch", "-c", bundle, "--ema",
+        "-o", str(tmp_path / "g.pt")])
+    assert res.exit_code != 0
+    assert "ONE set of params" in res.output
+
+
 def test_warm_start_shape_mismatch_fails_loudly(tmp_path):
     """A bundle built for a different architecture must be rejected at
     warm-start time, not train garbage."""
