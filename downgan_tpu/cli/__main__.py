@@ -87,6 +87,18 @@ def _resolve_source_config(config_path, region, checkpoint, run_id,
     return config, checkpoint, run, bundle is not None
 
 
+def _restore_params_cli(config, checkpoint, **kw):
+    """restore_generator_params with CLI-grade errors: the weights-only
+    branch refuses --epoch/--ema on a bundle via ValueError — surface
+    that as a usage error instead of a raw traceback."""
+    from downgan_tpu.inference import restore_generator_params
+
+    try:
+        return restore_generator_params(config, checkpoint, **kw)
+    except ValueError as e:
+        raise click.UsageError(str(e))
+
+
 @click.group()
 def cli() -> None:
     """downgan-tpu: TPU-native WGAN-GP super-resolution downscaling."""
@@ -140,7 +152,9 @@ def cli() -> None:
               "`import-torch`ed reference checkpoint — and train from "
               "there with fresh optimizer state. The bundle's model-shape "
               "fields override the config. A successful --resume "
-              "supersedes this.")
+              "supersedes this, but the bundle directory (its config.json "
+              "sizes the model) must outlive the run for `--resume "
+              "--warm-start` restart loops.")
 @click.option("--interactive", is_flag=True,
               help="Interactive experiment picker + run description (reference parity).")
 @click.option("--mesh/--no-mesh", default=True, help="Data-parallel over all devices.")
@@ -265,9 +279,11 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         # IO) so datasets and models are built for the network being
         # warmed from — `train --synthetic --warm-start <bundle>` just
         # works. The params themselves load lazily AFTER the resume
-        # decision: a restart loop running `--resume --warm-start` must
-        # neither pay a bundle restore it discards nor fail if the
-        # bundle was cleaned up once training got going.
+        # decision, so a restart loop running `--resume --warm-start`
+        # never pays a bundle restore it discards. The bundle DIRECTORY
+        # must still outlive the run: its config.json is re-read every
+        # restart to size the model (and click's exists=True checks it
+        # before anything else runs).
         wcfg_path = os.path.join(warm_start, "config.json")
         if not (os.path.exists(wcfg_path)
                 and os.path.isdir(os.path.join(warm_start, "params"))):
@@ -493,7 +509,6 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         generate_ensemble,
         generate_fields,
         rebuild_coarse_covariates,
-        restore_generator_params,
         write_generated_netcdf,
     )
 
@@ -537,9 +552,8 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
         raise click.UsageError(
             "--ema needs the full-train-state checkpoint layout; "
             "weights-only checkpoints hold one set of params")
-    g_params = restore_generator_params(config, checkpoint, step=epoch,
-                                        weights_only=weights_only,
-                                        use_ema=ema)
+    g_params = _restore_params_cli(config, checkpoint, step=epoch,
+                                   weights_only=weights_only, use_ema=ema)
     import numpy as np
 
     if times is not None:
@@ -632,17 +646,14 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
     deploy step: ``serve`` / ``generate`` / ``evaluate`` load the bundle
     with just ``--checkpoint <out>`` (weights-only is auto-detected).
     """
-    from downgan_tpu.inference import (
-        restore_generator_params,
-        write_generator_bundle,
-    )
+    from downgan_tpu.inference import write_generator_bundle
 
     config, checkpoint, _, bundle = _resolve_source_config(
         config_path, None, checkpoint, run_id, tracking_root)
     if bundle:
         raise click.UsageError(f"{checkpoint} is already an exported bundle")
-    g_params = restore_generator_params(config, checkpoint, step=epoch,
-                                        use_ema=ema)
+    g_params = _restore_params_cli(config, checkpoint, step=epoch,
+                                   use_ema=ema)
     out = write_generator_bundle(out, config, g_params)
     click.echo(f"exported {'EMA ' if ema else ''}generator bundle to {out}")
 
@@ -677,7 +688,6 @@ def export_torch(config_path, checkpoint, run_id, tracking_root, epoch,
             "export-torch needs the `torch` package to write the "
             "state_dict (CPU build is enough)")
 
-    from downgan_tpu.inference import restore_generator_params
     from downgan_tpu.utils.port_weights import export_generator
 
     config, checkpoint, _, bundle = _resolve_source_config(
@@ -691,8 +701,23 @@ def export_torch(config_path, checkpoint, run_id, tracking_root, epoch,
             "an exported bundle holds ONE set of params (EMA already "
             "baked in if it was exported with --ema); drop --ema, or "
             "export-torch from the full Trainer checkpoint directory")
-    g_params = restore_generator_params(config, checkpoint, step=epoch,
-                                        weights_only=bundle, use_ema=ema)
+    if config.noise_channels > 0:
+        # The torch layout has no latent concept: conv1 is written with
+        # covariates+noise input channels. Re-importing that file infers
+        # n_covariates = cov+noise and noise_channels=0 — a deterministic
+        # bundle whose covariate count no longer matches the training
+        # data. Warn so the round-trip asymmetry is never silent.
+        click.echo(
+            f"warning: stochastic generator (noise_channels="
+            f"{config.noise_channels}) — the torch layout bakes the "
+            f"latent into conv1 ({config.n_covariates} covariates + "
+            f"{config.noise_channels} noise input channels). Upstream, "
+            "pass channels = covariates + noise and feed latents "
+            "explicitly; re-importing via import-torch yields a "
+            "DETERMINISTIC model expecting that widened input, not a "
+            "drop-in --warm-start/--ensemble bundle.", err=True)
+    g_params = _restore_params_cli(config, checkpoint, step=epoch,
+                                   weights_only=bundle, use_ema=ema)
     sd = export_generator(g_params, num_res_blocks=config.num_res_blocks,
                           num_upsample=config.num_upsample)
     # np.array: a writable contiguous copy (from_numpy warns on the
@@ -838,6 +863,11 @@ def import_torch(weights, critic_weights, config_path, region, out) -> None:
         f"{arch['num_res_blocks']} RRDBs, {sf}x upsample, {n_g:,} params"
         + (", + critic" if c_params is not None else "")
         + f") to {out}")
+    click.echo(
+        f"note: inferred n_covariates={arch['n_covariates']} is conv1's "
+        "input width — for a checkpoint exported from a stochastic "
+        "(noise_channels>0) model that width includes the baked-in noise "
+        "channels, and the imported bundle is deterministic.")
 
 
 @cli.command()
@@ -872,7 +902,6 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
     """Serve super-resolution inference over HTTP (POST .npy covariates to
     /v1/generate; GET /healthz, /metrics). No reference equivalent — the
     serving layer for production deployment."""
-    from downgan_tpu.inference import restore_generator_params
     from downgan_tpu.serving import BatchingSRModel, SRModel, serve_model
 
     config, checkpoint, _, bundle = _resolve_source_config(
@@ -883,9 +912,8 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
             "--ema needs the full-train-state checkpoint layout; "
             "weights-only checkpoints (incl. exported bundles) hold one "
             "set of params — export with --ema instead")
-    g_params = restore_generator_params(config, checkpoint, step=epoch,
-                                        weights_only=weights_only,
-                                        use_ema=ema)
+    g_params = _restore_params_cli(config, checkpoint, step=epoch,
+                                   weights_only=weights_only, use_ema=ema)
     import jax
 
     mesh = None
@@ -989,9 +1017,7 @@ def evaluate(config_path, region, checkpoint, run_id, tracking_root, epoch,
             raise click.UsageError(
                 "--ema needs the full-train-state checkpoint layout; "
                 "weights-only checkpoints hold one set of params")
-        from downgan_tpu.inference import restore_generator_params
-
-        state = state.replace(g_params=restore_generator_params(
+        state = state.replace(g_params=_restore_params_cli(
             config, checkpoint, step=epoch, weights_only=True))
     else:
         state = CheckpointManager(checkpoint).restore(state, step=epoch)

@@ -204,7 +204,11 @@ def load_bundle(bundle_dir: str):
     # LOCAL sharding makes restore topology-independent: without it orbax
     # falls back to the sharding recorded at save time, which breaks for
     # bundles written from device arrays on a different machine/mesh.
-    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    # jax.local_devices(), not jax.devices(): under multihost
+    # (train --multihost --warm-start) the global list's [0] is a
+    # non-addressable remote device on every process but 0, and the
+    # restore would fail there.
+    dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
 
     def abstract(tree):
         return jax.tree.map(

@@ -456,8 +456,9 @@ def test_generate_any_retained_epoch_and_ema(tmp_path):
     )
     assert result.exit_code != 0
     assert "full-train-state" in result.output
-    # --epoch on a weights-only restore is an error, not a silent fall
-    # back to the single baked set of weights
+    # --epoch on a weights-only restore is a clean usage error (not a raw
+    # ValueError traceback, and not a silent fall back to the single baked
+    # set of weights)
     result = runner.invoke(
         cli,
         ["generate", "--config", str(cfg_path), "--checkpoint", ckpt_dir,
@@ -465,8 +466,8 @@ def test_generate_any_retained_epoch_and_ema(tmp_path):
          str(tmp_path / "y.nc")],
     )
     assert result.exit_code != 0
-    assert isinstance(result.exception, ValueError)
-    assert "single set of params" in str(result.exception)
+    assert not isinstance(result.exception, ValueError)
+    assert "single set of params" in result.output
 
 
 def test_train_multihost_requires_real_distributed_init(tmp_path, tiny_config_file):
