@@ -31,13 +31,21 @@ points through the exact same harness (one subprocess per compiled
 variant, per the measurement rules in PERF.md); the repo-root ``bench.py``
 the driver runs is a shim over this module.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+self-auditing perf fields included: the compiled program's own FLOP count
+(XLA cost analysis of the exact HLO being timed), achieved TF/s/chip,
+``mfu_vs_peak`` (default peak: v5e bf16 197 TF/s; BENCH_PEAK_TFLOPS
+overrides), and the raw per-rep wall times (session-variance hygiene).
 Env knobs: BENCH_BATCH (128), BENCH_SCAN_STEPS (30), BENCH_REPS (5),
 BENCH_DTYPE (bfloat16; set float32 + BENCH_BATCH=64 for the
 reference-parity workload), BENCH_METRICS (1), BENCH_MODE (train|infer —
 infer measures generator-forward SR throughput in patches/sec), and the
 fast-path toggles BENCH_REMAT / BENCH_FUSED_CRITIC / BENCH_REUSE_FAKE
-(all 0 = reference-parity semantics), BENCH_GRAD_ACCUM (microbatch
+(all 0 = reference-parity semantics), BENCH_SCHEDULE (reference|fused —
+fused measures the build_fused_round fast path: n_critic critic updates
+on distinct minibatches + 1 G update per compiled round, patches/sec
+accounting scaled by n_critic so the two schedules compare per-patch),
+BENCH_GRAD_ACCUM (microbatch
 gradient accumulation — measures the memory/throughput trade at batches
 HBM cannot materialize in one piece), BENCH_AUGMENT (physics-aware flip
 augmentation in the step), and BENCH_CONFIG=<path> (measure a specific
@@ -158,7 +166,7 @@ def main() -> None:
 
     setup_cache()
     from downgan_tpu.config.config import Config, HyperParams
-    from downgan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from downgan_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
     from downgan_tpu.training.state import create_state, make_models
     from downgan_tpu.training.wgan import build_train_step
 
@@ -209,10 +217,17 @@ def main() -> None:
                                     base.hp.metrics_reuse_fake),
         grad_accum=env_int("BENCH_GRAD_ACCUM", base.hp.grad_accum),
         augment_flips=env_bool("BENCH_AUGMENT", base.hp.augment_flips),
+        schedule=os.environ.get("BENCH_SCHEDULE", base.hp.schedule),
     )
     if smoke:
         hp_kw["metrics_to_calculate"] = ("MAE", "MSE", "Wass")
     config = base.replace(hp=dataclasses.replace(base.hp, **hp_kw))
+    # "fused" (SURVEY §7 option b, wgan.py build_fused_round): one round =
+    # n_critic critic updates on DISTINCT minibatches + 1 generator update,
+    # so each scan iteration consumes n_critic * batch patches — the same
+    # per-patch work as n_critic reference steps (wasserstein.py:131-137).
+    fused = config.hp.schedule == "fused"
+    n_critic = config.hp.critic_iterations if fused else 1
     if multihost:
         from downgan_tpu.parallel.multihost import global_mesh
 
@@ -230,8 +245,14 @@ def main() -> None:
     rng_np = np.random.default_rng(0)
     cs, fs = config.coarse_size, config.fine_size
     n_cov, n_pred = config.n_covariates, config.n_predictands
-    coarse = rng_np.standard_normal((batch, cs, cs, n_cov)).astype(np.float32)
-    fine = rng_np.standard_normal((batch, fs, fs, n_pred)).astype(np.float32)
+    coarse = rng_np.standard_normal(
+        (n_critic * batch, cs, cs, n_cov)).astype(np.float32)
+    fine = rng_np.standard_normal(
+        (n_critic * batch, fs, fs, n_pred)).astype(np.float32)
+    if fused:  # leading n_critic axis; batch (= sharded) axis moves to 1
+        coarse = coarse.reshape(n_critic, batch, cs, cs, n_cov)
+        fine = fine.reshape(n_critic, batch, fs, fs, n_pred)
+    batch_axis = 1 if fused else 0
     if multihost:
         # Per-host assembly: each process feeds only its rows of the
         # global batch (a device_put cannot target another host's devices).
@@ -241,14 +262,25 @@ def main() -> None:
         )
 
         lo, hi = process_batch_slice(batch)
-        coarse = make_global_batch(mesh, coarse[lo:hi])
-        fine = make_global_batch(mesh, fine[lo:hi])
+        rows = (lambda a: a[:, lo:hi]) if fused else (lambda a: a[lo:hi])
+        coarse = make_global_batch(mesh, rows(coarse), batch_axis=batch_axis)
+        fine = make_global_batch(mesh, rows(fine), batch_axis=batch_axis)
         rng = np.asarray(jax.random.PRNGKey(1))  # uncommitted -> replicated
     else:
-        coarse, fine = shard_batch(mesh, coarse, fine)
+        coarse = jax.device_put(
+            coarse, batch_sharding(mesh, coarse.ndim, batch_axis=batch_axis))
+        fine = jax.device_put(
+            fine, batch_sharding(mesh, fine.ndim, batch_axis=batch_axis))
         rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
 
-    step_fn = build_train_step(config, gen, critic, with_metrics=with_metrics)
+    if fused:
+        from downgan_tpu.training.wgan import build_fused_round
+
+        step_fn = build_fused_round(config, gen, critic,
+                                    with_metrics=with_metrics)
+    else:
+        step_fn = build_train_step(config, gen, critic,
+                                   with_metrics=with_metrics)
 
     def run_steps(state, coarse, fine, rng):
         def body(carry, _):
@@ -259,21 +291,39 @@ def main() -> None:
         return state, jax.tree.map(jnp.mean, stacked)
 
     rep = replicated(mesh)
+    bat_spec = ((None, "data", None, None, None) if fused
+                else ("data", None, None, None))
     bat = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec("data", None, None, None)
+        mesh, jax.sharding.PartitionSpec(*bat_spec)
     )
     run = jax.jit(
         run_steps, in_shardings=(rep, bat, bat, rep), out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
 
+    # AOT-compile (multihost always did; single-host gains nothing from
+    # a second jit-dispatch trace of the same HLO).
+    run = run.lower(state, coarse, fine, rng).compile()
+    # Self-auditing FLOP census: XLA cost analysis counts scan bodies
+    # once, so the scanned program can't report its own total — the
+    # census lowers the step's loop-free pieces and applies the
+    # schedule's exact multiplicities (utils/flops.py).
+    try:
+        from downgan_tpu.utils.flops import train_flop_census
+
+        census = train_flop_census(
+            config, gen, critic, state, scan_steps,
+            with_metrics=with_metrics)
+        total_flops = census["total_flops"]
+    except Exception:  # no cost model on this backend
+        total_flops = 0.0
+
     if multihost:
-        # AOT-compile, then rendezvous through the coordination service
-        # (long gRPC timeout) BEFORE the first collective execution:
-        # per-process compile times skew (badly on shared CPUs), and the
-        # backend's collective-context setup at first execution has a
-        # short rendezvous window (Gloo KV: 30 s) that the skew overruns.
-        run = run.lower(state, coarse, fine, rng).compile()
+        # Rendezvous through the coordination service (long gRPC timeout)
+        # BEFORE the first collective execution: per-process compile times
+        # skew (badly on shared CPUs), and the backend's collective-context
+        # setup at first execution has a short rendezvous window
+        # (Gloo KV: 30 s) that the skew overruns.
         from jax._src import distributed as _dist
 
         _dist.global_state.client.wait_at_barrier(
@@ -297,13 +347,34 @@ def main() -> None:
     median = sorted(times)[len(times) // 2]
     steps_per_sec = scan_steps / median
     n_chips = len(jax.devices())
-    pps = steps_per_sec * batch / n_chips
+    # One fused round consumes n_critic distinct minibatches — the same
+    # per-patch work as n_critic reference-schedule steps.
+    pps = steps_per_sec * batch * n_critic / n_chips
+    # Self-auditing perf accounting (VERDICT r3): the compiled program's
+    # own FLOP count, achieved TF/s/chip, and utilization vs peak. Default
+    # peak is TPU v5e bf16 (197 TF/s/chip); override with
+    # BENCH_PEAK_TFLOPS for other parts (v5p: 459, v4: 275).
+    peak_env = os.environ.get("BENCH_PEAK_TFLOPS")
+    platform = jax.devices()[0].platform
+    peak_tflops = (float(peak_env) if peak_env
+                   else 197.0 if platform == "tpu" else None)
+    perf = {}
+    if total_flops > 0:
+        achieved = total_flops / n_chips / median / 1e12
+        perf = {
+            "flops_per_step": round(total_flops / scan_steps),
+            "achieved_tflops_per_chip": round(achieved, 2),
+        }
+        if peak_tflops:
+            perf["peak_tflops"] = peak_tflops
+            perf["mfu_vs_peak"] = round(achieved / peak_tflops, 4)
     if jax.process_index() == 0:
         print(
             json.dumps(
                 {
                     "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
                     + ("" if with_metrics else "_nometrics")
+                    + ("_fused" if fused else "")
                     + ("_reusefake" if config.hp.metrics_reuse_fake else "")
                     + ("_fusedcritic" if config.hp.fused_critic_pass else "")
                     + ("_remat" if config.hp.remat else "")
@@ -321,6 +392,11 @@ def main() -> None:
                     "n_processes": jax.process_count(),
                     "aggregate_patches_per_sec": round(pps * n_chips, 1),
                     "dtype": dtype,
+                    "schedule": config.hp.schedule,
+                    # Session-variance hygiene: raw per-rep wall times so
+                    # knee drift across sessions is visible in artifacts.
+                    "rep_times_s": [round(t, 4) for t in times],
+                    **perf,
                 }
             )
         )

@@ -475,8 +475,9 @@ def prepare_data(config_path, region) -> None:
               "RAW NetCDFs in this command (parity with "
               "gen_fake_ds.py:92-144) instead of reading preprocessed files.")
 @click.option("--subset", type=click.Choice(["train", "test"]), default="test",
-              help="Which year-mask subset to generate for with "
-              "--raw-covariates (the reference generates the test years).")
+              help="Which year-mask subset to generate for — raw "
+              "(--raw-covariates) or preprocessed covariates alike (the "
+              "reference generates the test years, gen_fake_ds.py:92).")
 @click.option("--samples", type=int, default=100)
 @click.option("--tile-rows", type=int, default=0,
               help="Overlap-tile the lat axis for domains taller than the "
@@ -545,7 +546,11 @@ def generate(config_path, region, checkpoint, run_id, tracking_root, epoch,
     else:
         from downgan_tpu.data.staging import load_preprocessed_coords
 
-        coarse, _, _, _ = load_preprocessed(config)
+        # Honor --subset like the raw path: the reference generates the
+        # TEST years (gen_fake_ds.py:92-144); load_preprocessed returns
+        # (coarse_train, fine_train, coarse_test, fine_test).
+        ct, _, cv, _ = load_preprocessed(config)
+        coarse = ct if subset == "train" else cv
         lats, lons = load_preprocessed_coords(config)
 
     if ema and weights_only:
@@ -656,6 +661,57 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
                                    use_ema=ema)
     out = write_generator_bundle(out, config, g_params)
     click.echo(f"exported {'EMA ' if ema else ''}generator bundle to {out}")
+
+
+@cli.command("export-mlflow")
+@click.option("--run", "run_id", default=None,
+              help="Tracked run id to export (default: every run of "
+              "--experiment, or of ALL experiments).")
+@click.option("--experiment", default=None,
+              help="Experiment name to export when --run is not given.")
+@click.option("--tracking-root", default="experiments")
+@click.option("--out", "-o", default="mlruns", type=click.Path(),
+              help="MLflow FileStore root to write (point `mlflow ui "
+              "--backend-store-uri` at this directory).")
+def export_mlflow(run_id, experiment, tracking_root, out) -> None:
+    """Export tracked runs as an MLflow FileStore tree.
+
+    The reference's run history lives in an MLflow FileStore
+    (``GAN/stage.py:66-70``, ``mlflow_tools/mlflow_server_cmd.py:4``);
+    this writes downgan_tpu runs in that exact on-disk format —
+    meta.yaml + params/ + metrics/ + tags/ + artifacts/ — so a reference
+    user's existing MLflow UI and MlflowClient tooling open TPU runs
+    unchanged (run-history migration, the counterpart of export-torch's
+    model migration).
+    """
+    from downgan_tpu.tracking.mlflow_export import export_experiment, export_run
+    from downgan_tpu.tracking.store import TrackingStore
+
+    store = TrackingStore(tracking_root)
+    written = []
+    if run_id is not None:
+        try:
+            run = store.get_run(run_id)
+        except KeyError as e:
+            raise click.UsageError(str(e))
+        written.append(export_run(run, out))
+    else:
+        experiments = store.experiments()
+        if experiment is not None:
+            exp_id = store.experiment_by_name(experiment)
+            if exp_id is None:
+                raise click.UsageError(
+                    f"experiment {experiment!r} not found in {tracking_root} "
+                    f"(have: {[i.get('name') for i in experiments.values()]})")
+            exp_ids = [exp_id]
+        else:
+            exp_ids = list(experiments)
+        for exp_id in exp_ids:
+            written.extend(export_experiment(store, exp_id, out))
+    if not written:
+        raise click.UsageError(f"no runs to export under {tracking_root}")
+    click.echo(f"exported {len(written)} run(s) to MLflow FileStore {out}")
+    click.echo(f"view: mlflow ui --backend-store-uri {os.path.abspath(out)}")
 
 
 @cli.command("export-torch")
@@ -1193,13 +1249,30 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
         run_once = lambda: fwd(params, g_in)
         sync = lambda r: jax.device_get(r[0, 0, 0, 0])
     else:
-        from downgan_tpu.training.wgan import build_train_step
+        from downgan_tpu.training.wgan import (
+            build_fused_round,
+            build_train_step,
+        )
 
+        fused = config.hp.schedule == "fused"
+        # Under the fused schedule one profiled "step" is a whole round:
+        # critic_iterations critic updates on distinct minibatches + one
+        # generator update, fed as a (n_critic, B, ...) stack.
+        n_lead = config.hp.critic_iterations if fused else 1
         fine = jnp.asarray(rng_np.standard_normal(
-            (bs, config.fine_size, config.fine_size, config.n_predictands)
+            (n_lead * bs, config.fine_size, config.fine_size,
+             config.n_predictands)
         ).astype(np.float32))
+        if fused:
+            coarse = jnp.concatenate(
+                [coarse] + [jnp.asarray(rng_np.standard_normal(
+                    coarse.shape).astype(np.float32))
+                    for _ in range(n_lead - 1)]
+            ).reshape(n_lead, bs, *coarse.shape[1:])
+            fine = fine.reshape(n_lead, bs, *fine.shape[1:])
         state = create_state(config, jax.random.PRNGKey(0))
-        step = jax.jit(build_train_step(config, gen, critic, with_metrics=True))
+        builder = build_fused_round if fused else build_train_step
+        step = jax.jit(builder(config, gen, critic, with_metrics=True))
         rng = jax.random.PRNGKey(1)
 
         def run_once():
@@ -1220,10 +1293,14 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
                 r = run_once()
             sync(r)  # one scalar fetch; block_until_ready lies on the tunnel
     dt = time.perf_counter() - t0
+    patches_per_step = bs * (config.hp.critic_iterations
+                             if mode == "train"
+                             and config.hp.schedule == "fused" else 1)
     click.echo(json.dumps({
         "mode": mode, "steps": steps, "batch": bs,
+        "schedule": config.hp.schedule if mode == "train" else None,
         "steps_per_s": round(steps / dt, 2),
-        "patches_per_s": round(steps * bs / dt, 1),
+        "patches_per_s": round(steps * patches_per_step / dt, 1),
         "trace_dir": out,
         "hbm": profiling.device_memory_stats(),
     }))
@@ -1237,6 +1314,10 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
               help="Comma-separated candidate batch sizes.")
 @click.option("--dtypes", default="bfloat16",
               help="Comma-separated candidate compute dtypes.")
+@click.option("--schedules", default="reference,fused",
+              help="Comma-separated update schedules to sweep (reference = "
+              "the parity num_steps%%5 step; fused = one compiled round of "
+              "critic_iterations critic updates + 1 G update).")
 @click.option("--fast-paths/--no-fast-paths", default=True,
               help="After the (batch, dtype) sweep, also measure the "
               "metrics_reuse_fake and fused_critic_pass fast paths at the "
@@ -1250,10 +1331,14 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
               "compile on small hosts before any measurement happens.")
 @click.option("--out", type=click.Path(), default=None,
               help="Write the recommended production config JSON here.")
+@click.option("--sweep-out", type=click.Path(), default=None,
+              help="Write the FULL sweep (every candidate's complete bench "
+              "record incl. rep times and FLOP census) as JSON — the "
+              "session-variance artifact to keep next to BENCH results.")
 @click.option("--smoke", is_flag=True,
               help="Harness check on the CPU backend (tiny model/shapes).")
-def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
-         timeout_s, out, smoke) -> None:
+def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
+         reps, timeout_s, out, sweep_out, smoke) -> None:
     """Find the production throughput point on THIS hardware.
 
     Sweeps candidate (batch, dtype) configurations through the benchmark
@@ -1274,7 +1359,8 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(downgan_tpu.__file__)))
     base = _load_config(config_path, None)
 
-    def measure(batch: int, dtype: str, **toggles: bool) -> Optional[dict]:
+    def measure(batch: int, dtype: str, schedule: str = "reference",
+                **toggles: bool) -> Optional[dict]:
         # Start from a BENCH_*-clean environment: a stray exported knob
         # (BENCH_MODE=infer, BENCH_FORCE_CPU=1, BENCH_MULTIHOST=1, ...)
         # would otherwise silently corrupt or crash the whole sweep.
@@ -1284,6 +1370,7 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
         env.update(
             BENCH_BATCH=str(batch), BENCH_DTYPE=dtype,
             BENCH_SCAN_STEPS=str(scan_steps), BENCH_REPS=str(reps),
+            BENCH_SCHEDULE=schedule,
             BENCH_REUSE_FAKE="1" if toggles.get("reuse_fake") else "0",
             BENCH_FUSED_CRITIC="1" if toggles.get("fused_critic") else "0",
         )
@@ -1294,7 +1381,8 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
             env["BENCH_CONFIG"] = os.path.abspath(config_path)
         if smoke:
             env.update(BENCH_SMOKE="1", BENCH_FORCE_CPU="1")
-        label = f"b{batch} {dtype}" + "".join(f" +{k}" for k, v in toggles.items() if v)
+        label = (f"b{batch} {dtype} {schedule}"
+                 + "".join(f" +{k}" for k, v in toggles.items() if v))
         click.echo(f"measuring {label} ...", err=True)
         try:
             proc = subprocess.run(
@@ -1309,23 +1397,26 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
             click.echo(f"  {label}: FAILED\n{proc.stderr[-2000:]}", err=True)
             return None
         rec = json.loads(lines[-1])
-        rec.update(batch=batch, dtype=dtype, **toggles)
+        rec.update(batch=batch, dtype=dtype, schedule=schedule, **toggles)
         click.echo(f"  {label}: {rec['value']} {rec['unit']}", err=True)
         return rec
 
+    sched_list = [s.strip() for s in schedules.split(",") if s.strip()]
     candidates = []
-    for dtype in [d.strip() for d in dtypes.split(",") if d.strip()]:
-        for b in [int(x) for x in batches.split(",") if x.strip()]:
-            rec = measure(b, dtype)
-            if rec is not None:
-                candidates.append(rec)
+    for schedule in sched_list:
+        for dtype in [d.strip() for d in dtypes.split(",") if d.strip()]:
+            for b in [int(x) for x in batches.split(",") if x.strip()]:
+                rec = measure(b, dtype, schedule)
+                if rec is not None:
+                    candidates.append(rec)
     if not candidates:
         raise click.ClickException("every candidate failed or timed out")
 
     best = max(candidates, key=lambda r: r["value"])
     if fast_paths:
         for toggle in ("reuse_fake", "fused_critic"):
-            rec = measure(best["batch"], best["dtype"], **{toggle: True})
+            rec = measure(best["batch"], best["dtype"], best["schedule"],
+                          **{toggle: True})
             if rec is not None:
                 candidates.append(rec)
         best = max(candidates, key=lambda r: r["value"])
@@ -1334,16 +1425,18 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
         base.hp,
         batch_size=best["batch"],
         compute_dtype=best["dtype"],
+        schedule=best["schedule"],
         metrics_reuse_fake=bool(best.get("reuse_fake")),
         fused_critic_pass=bool(best.get("fused_critic")),
     ))
     report = {
         "best": {k: best[k] for k in
-                 ("metric", "value", "unit", "batch", "dtype",
+                 ("metric", "value", "unit", "batch", "dtype", "schedule",
                   "aggregate_patches_per_sec", "n_chips")},
         "recommended_hp": {
             "batch_size": best["batch"],
             "compute_dtype": best["dtype"],
+            "schedule": best["schedule"],
             "metrics_reuse_fake": bool(best.get("reuse_fake")),
             "fused_critic_pass": bool(best.get("fused_critic")),
         },
@@ -1353,6 +1446,14 @@ def tune(config_path, batches, dtypes, fast_paths, scan_steps, reps,
         ],
     }
     click.echo(json.dumps(report))
+    if sweep_out:
+        # The session-variance artifact (PERF.md measurement rules): every
+        # candidate's complete bench record — rep times, FLOP census, MFU —
+        # so knee drift across sessions is visible in artifacts.
+        with open(sweep_out, "w") as f:
+            json.dump({"sweep": sorted(candidates, key=lambda r: -r["value"]),
+                       "best": best["metric"]}, f, indent=1)
+        click.echo(f"full sweep written to {sweep_out}", err=True)
     if out:
         with open(out, "w") as f:
             f.write(recommended.to_json())

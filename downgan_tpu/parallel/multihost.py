@@ -91,11 +91,15 @@ def process_batch_slice(global_batch: int, process_index: Optional[int] = None,
     return pi * per, (pi + 1) * per
 
 
-def make_global_batch(mesh, local_rows: np.ndarray) -> jax.Array:
+def make_global_batch(mesh, local_rows: np.ndarray,
+                      batch_axis: int = 0) -> jax.Array:
     """Assemble a globally-sharded batch from this host's rows.
 
-    ``local_rows``: the rows from :func:`process_batch_slice`. Returns a
-    global jax.Array sharded over the mesh's data axis.
+    ``local_rows``: the rows from :func:`process_batch_slice`, taken along
+    ``batch_axis`` (0 for (B, ...) batches; 1 for the fused schedule's
+    (n_critic, B, ...) stacks). Returns a global jax.Array sharded over
+    the mesh's data axis at that position.
     """
-    sharding = batch_sharding(mesh, ndim=local_rows.ndim)
+    sharding = batch_sharding(mesh, ndim=local_rows.ndim,
+                              batch_axis=batch_axis)
     return jax.make_array_from_process_local_data(sharding, local_rows)

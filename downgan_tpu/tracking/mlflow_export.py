@@ -1,0 +1,162 @@
+"""Export tracked runs to an MLflow FileStore directory.
+
+The reference's observability ecosystem IS MLflow — its runs live in an
+MLflow FileStore that existing dashboards, ``mlflow ui`` instances and
+``MlflowClient`` scripts open directly (``DoWnGAN/GAN/stage.py:66-70``,
+``mlflow_tools/mlflow_utils.py:13-42``, ``mlflow_server_cmd.py:4``). The
+downgan_tpu tracker reproduces the behavior with its own layout
+(``tracking/store.py``); this module closes the run-HISTORY migration
+path: ``downgan export-mlflow`` writes any tracked run (or a whole
+experiment) as a spec-conformant FileStore tree a reference user can
+point their existing MLflow UI at — no mlflow import needed, the
+FileStore format is plain files:
+
+    mlruns/<exp_id>/meta.yaml                  # experiment metadata
+    mlruns/<exp_id>/<run_id32>/meta.yaml       # run metadata
+    .../params/<key>                           # one file, value as text
+    .../metrics/<key>                          # "<ts_ms> <value> <step>" lines
+    .../tags/<key>                             # one file per tag
+    .../artifacts/...                          # copied verbatim
+
+Run ids are widened deterministically to MLflow's 32-hex form (ours are
+16-hex); ``mlflow.runName`` is set from the tracked run name so the UI
+shows the same labels.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from downgan_tpu.tracking.store import Run, TrackingStore
+
+#: MLflow RunStatus enum values (mlflow/entities/run_status.py).
+_STATUS = {"RUNNING": 1, "SCHEDULED": 2, "FINISHED": 3, "FAILED": 4,
+           "KILLED": 5}
+
+
+def _yaml_scalar(v) -> str:
+    """Render one scalar the way mlflow's FileStore does (PyYAML default
+    style): bare numbers/bools, single-quoted strings when they could be
+    misparsed, plain strings otherwise."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v)
+    needs_quote = (
+        s == "" or s != s.strip()
+        or any(c in s for c in ":#{}[]&*!|>%@`\"'\\\n")
+        or s.lower() in ("null", "true", "false", "yes", "no", "on", "off")
+        or s[0] in "-?,"
+        or s.replace(".", "", 1).replace("-", "", 1).isdigit()
+    )
+    if needs_quote:
+        return "'" + s.replace("'", "''") + "'"
+    return s
+
+
+def _write_yaml(path: str, mapping: dict) -> None:
+    lines = [f"{k}: {_yaml_scalar(v)}" for k, v in mapping.items()]
+    # mlflow's run meta carries an empty tags list inline
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _ms(seconds: Optional[float]) -> Optional[int]:
+    return None if seconds is None else int(float(seconds) * 1000)
+
+
+def widen_run_id(run_id: str) -> str:
+    """Deterministically widen a 16-hex tracker run id to MLflow's 32-hex."""
+    return (run_id * ((32 // max(len(run_id), 1)) + 1))[:32]
+
+
+def export_run(run: Run, dest_root: str,
+               experiment_name: Optional[str] = None,
+               mlflow_experiment_id: Optional[str] = None) -> str:
+    """Write one tracked run as an MLflow FileStore run. Returns the run dir.
+
+    ``dest_root`` is the FileStore root (the directory an MLflow UI is
+    pointed at, conventionally ``mlruns/``).
+    """
+    store = run.store
+    exp_info = store.experiments().get(run.experiment_id, {})
+    exp_name = experiment_name or exp_info.get(
+        "name", f"experiment_{run.experiment_id}")
+    exp_id = mlflow_experiment_id or run.experiment_id
+    exp_dir = os.path.join(dest_root, exp_id)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    meta = run.meta
+    created_ms = _ms(meta.get("created")) or 0
+    if not os.path.exists(os.path.join(exp_dir, "meta.yaml")):
+        _write_yaml(os.path.join(exp_dir, "meta.yaml"), {
+            "artifact_location": "file://" + os.path.abspath(exp_dir),
+            "creation_time": created_ms,
+            "experiment_id": exp_id,
+            "last_update_time": created_ms,
+            "lifecycle_stage": "active",
+            "name": exp_name,
+        })
+
+    run_id32 = widen_run_id(run.run_id)
+    run_dir = os.path.join(exp_dir, run_id32)
+    art_dir = os.path.join(run_dir, "artifacts")
+    for sub in ("metrics", "params", "tags"):
+        os.makedirs(os.path.join(run_dir, sub), exist_ok=True)
+
+    start_ms = _ms(meta.get("start_time")) or created_ms
+    end_ms = _ms(meta.get("end_time"))
+    _write_yaml(os.path.join(run_dir, "meta.yaml"), {
+        "artifact_uri": "file://" + os.path.abspath(art_dir),
+        "end_time": end_ms,
+        "entry_point_name": "",
+        "experiment_id": exp_id,
+        "lifecycle_stage": "active",
+        "run_id": run_id32,
+        "run_name": meta.get("run_name", run.run_id),
+        "run_uuid": run_id32,
+        "source_name": "",
+        "source_type": 4,  # LOCAL
+        "source_version": "",
+        "start_time": start_ms,
+        "status": _STATUS.get(meta.get("status", "FINISHED"), 3),
+        "user_id": os.environ.get("USER", "downgan"),
+    })
+
+    for key, value in run.params.items():
+        with open(os.path.join(run_dir, "params", _fname(key)), "w") as f:
+            f.write(f"{value}\n")
+
+    tags = dict(meta.get("tags", {}))
+    tags.setdefault("mlflow.runName", meta.get("run_name", run.run_id))
+    for key, value in tags.items():
+        with open(os.path.join(run_dir, "tags", _fname(key)), "w") as f:
+            f.write(f"{value}\n")
+
+    for name in run.metric_names:
+        with open(os.path.join(run_dir, "metrics", _fname(name)), "w") as f:
+            for row in run.metric_history(name):
+                f.write(f"{_ms(row['wall_time'])} {row['value']} "
+                        f"{row['step']}\n")
+
+    if os.path.isdir(run.artifact_dir):
+        shutil.copytree(run.artifact_dir, art_dir, dirs_exist_ok=True)
+    else:
+        os.makedirs(art_dir, exist_ok=True)
+    return run_dir
+
+
+def export_experiment(store: TrackingStore, experiment_id: str,
+                      dest_root: str) -> list:
+    """Export every run of an experiment; returns the run dirs written."""
+    return [export_run(r, dest_root) for r in store.runs(experiment_id)]
+
+
+def _fname(key: str) -> str:
+    # mlflow validates keys to alnum + ./_- ; sanitize the rest the same
+    # way the tracker's own _safe does so histories keep their names
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in key)

@@ -252,10 +252,13 @@ def _accum_value_and_grad(loss_fn, k: int, has_aux: bool):
     a time. Every core WGAN-GP loss term (Wasserstein means, GP, L1
     content) is a per-sample mean, so the average of the microbatch
     results equals the full-batch computation up to fp summation order.
-    The divergence/vorticity/EOF regularizers are NOT per-sample means
-    (they normalize by a batch-wide std) and are rejected with grad_accum
-    at config validation. No reference equivalent: the reference is
-    hard-capped at the batch one GPU can materialize.
+    The divergence/vorticity/EOF regularizers normalize by a batch-wide
+    std and therefore follow per-MICROBATCH normalization under
+    accumulation (each microbatch's derived fields normalized by its own
+    std; documented semantics, config.py HyperParams validation note) —
+    the same estimator, differing from full-batch only through the
+    sampling noise of the per-microbatch std. No reference equivalent:
+    the reference is hard-capped at the batch one GPU can materialize.
     """
     vag = jax.value_and_grad(loss_fn, has_aux=has_aux)
 

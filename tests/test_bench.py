@@ -55,6 +55,38 @@ def test_bench_smoke_8_device_mesh():
         rec["value"] * 8, abs=0.8)
     assert rec["vs_baseline"] > 0
     assert "smoke" in rec["metric"]
+    # self-audit fields (VERDICT r3): FLOP census + raw rep times
+    assert rec["schedule"] == "reference"
+    assert rec["flops_per_step"] > 0
+    assert len(rec["rep_times_s"]) == 1  # BENCH_REPS smoke default
+
+
+def test_bench_smoke_fused_schedule():
+    """BENCH_SCHEDULE=fused measures build_fused_round: per-round patch
+    accounting (batch * critic_iterations) and a bigger FLOP census than
+    the per-step reference schedule."""
+    env = _bench_env(8, BENCH_SCHEDULE="fused")
+    proc = subprocess.run(
+        [sys.executable, BENCH], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    rec = _last_json_line(proc.stdout)
+    assert rec["schedule"] == "fused"
+    assert "_fused" in rec["metric"]
+    assert rec["value"] > 0
+    # one round = critic_iterations minibatches: patches/sec accounting
+    # scales value by n_critic relative to rounds/sec
+    assert rec["aggregate_patches_per_sec"] == pytest.approx(
+        rec["steps_per_sec"] * 8 * 5, rel=0.05)
+
+    ref = subprocess.run(
+        [sys.executable, BENCH], env=_bench_env(8), capture_output=True,
+        text=True, timeout=600,
+    )
+    ref_rec = _last_json_line(ref.stdout)
+    # a fused ROUND does ~n_critic times the critic work of one step
+    assert rec["flops_per_step"] > 2 * ref_rec["flops_per_step"]
 
 
 def test_tune_smoke(tmp_path, monkeypatch):
@@ -80,12 +112,14 @@ def test_tune_smoke(tmp_path, monkeypatch):
     base_path.write_text(base.to_json())
 
     out = str(tmp_path / "tuned.json")
+    sweep_out = str(tmp_path / "sweep.json")
     result = CliRunner().invoke(
         cli,
         ["tune", "--smoke", "--config", str(base_path),
          "--batches", "8", "--dtypes", "float32",
+         "--schedules", "reference",
          "--scan-steps", "2", "--reps", "1", "--no-fast-paths",
-         "--out", out],
+         "--out", out, "--sweep-out", sweep_out],
         catch_exceptions=False,
     )
     assert result.exit_code == 0, result.output
@@ -100,6 +134,36 @@ def test_tune_smoke(tmp_path, monkeypatch):
     assert cfg.hp.compute_dtype == "float32"
     # the --config base (not the default) is what the recommendation edits
     assert cfg.hp.critic_iterations == 3
+    # the full-sweep artifact carries complete bench records (variance
+    # hygiene: rep times + FLOP census live in artifacts, not prose)
+    with open(sweep_out) as f:
+        sweep = json.load(f)
+    assert sweep["best"] == report["best"]["metric"]
+    assert all("rep_times_s" in r for r in sweep["sweep"])
+
+
+def test_tune_smoke_fused_schedule(tmp_path):
+    """Sweeping --schedules fused recommends hp.schedule='fused'."""
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+    from downgan_tpu.config.config import Config
+
+    out = str(tmp_path / "tuned.json")
+    result = CliRunner().invoke(
+        cli,
+        ["tune", "--smoke", "--batches", "8", "--dtypes", "float32",
+         "--schedules", "fused", "--scan-steps", "2", "--reps", "1",
+         "--no-fast-paths", "--out", out],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    report = json.loads(
+        [l for l in result.output.splitlines() if l.startswith("{")][-1])
+    assert report["recommended_hp"]["schedule"] == "fused"
+    with open(out) as f:
+        cfg = Config.from_json(f.read())
+    assert cfg.hp.schedule == "fused"
 
 
 def test_bench_smoke_multihost_two_process():

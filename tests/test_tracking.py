@@ -221,3 +221,108 @@ def test_artifact_sibling_dir_not_served(store):
         assert exc.value.code == 404
     finally:
         server.shutdown()
+
+
+# ---- MLflow FileStore export (run-history migration, VERDICT r3 #6) ----
+
+def _populated_run(store, tmp_path):
+    eid = store.create_experiment("wind-sr")
+    with store.create_run(eid, run_name="florida-b128") as run:
+        run.log_params({"lr": 2.5e-4, "batch_size": 128, "region": "florida"})
+        run.set_tags({"purpose": "parity: doubled gp_lambda"})
+        for step in range(3):
+            run.log_metrics({"MAE_train": 1.0 / (step + 1),
+                             "Wass_test": -0.5 * step}, step)
+        art = tmp_path / "grid.png"
+        art.write_bytes(b"\x89PNG fake")
+        run.log_artifact(str(art))
+    return run
+
+
+def test_mlflow_export_filestore_layout(store, tmp_path):
+    """export_run writes the exact MLflow FileStore on-disk format: YAML
+    metas that yaml.safe_load parses with mlflow's field names, params as
+    one file per key, metrics as '<ts_ms> <value> <step>' lines, tags
+    incl. mlflow.runName, artifacts copied — validated against the format
+    the reference's MLflow UI reads (mlflow_tools/mlflow_server_cmd.py:4)."""
+    import os
+
+    import yaml
+
+    from downgan_tpu.tracking.mlflow_export import export_run, widen_run_id
+
+    run = _populated_run(store, tmp_path)
+    dest = str(tmp_path / "mlruns")
+    run_dir = export_run(run, dest)
+
+    rid32 = widen_run_id(run.run_id)
+    assert len(rid32) == 32 and int(rid32, 16) >= 0
+    exp_dir = os.path.dirname(run_dir)
+    assert os.path.basename(run_dir) == rid32
+
+    with open(os.path.join(exp_dir, "meta.yaml")) as f:
+        exp_meta = yaml.safe_load(f)
+    assert exp_meta["name"] == "wind-sr"
+    assert exp_meta["lifecycle_stage"] == "active"
+    assert exp_meta["experiment_id"] == run.experiment_id
+    assert exp_meta["artifact_location"].startswith("file://")
+
+    with open(os.path.join(run_dir, "meta.yaml")) as f:
+        run_meta = yaml.safe_load(f)
+    assert run_meta["run_id"] == run_meta["run_uuid"] == rid32
+    assert run_meta["status"] == 3  # FINISHED
+    assert run_meta["run_name"] == "florida-b128"
+    assert run_meta["end_time"] >= run_meta["start_time"] > 10**12  # ms epoch
+    assert run_meta["artifact_uri"].endswith("/artifacts")
+
+    with open(os.path.join(run_dir, "params", "lr")) as f:
+        assert float(f.read()) == 2.5e-4
+    with open(os.path.join(run_dir, "params", "region")) as f:
+        assert f.read().strip() == "florida"
+
+    for name, col in (("MAE_train", 1.0), ("Wass_test", 0.0)):
+        with open(os.path.join(run_dir, "metrics", name)) as f:
+            rows = [l.split() for l in f.read().splitlines()]
+        assert [int(r[2]) for r in rows] == [0, 1, 2]  # steps
+        assert all(int(r[0]) > 10**12 for r in rows)  # ms timestamps
+        float(rows[0][1])  # value parses
+
+    with open(os.path.join(run_dir, "tags", "mlflow.runName")) as f:
+        assert f.read().strip() == "florida-b128"
+    with open(os.path.join(run_dir, "tags", "purpose")) as f:
+        assert "parity" in f.read()
+
+    assert os.path.exists(os.path.join(run_dir, "artifacts", "grid.png"))
+
+
+def test_mlflow_export_cli_whole_store(store, tmp_path):
+    """`downgan export-mlflow` without --run exports every run; a second
+    run in the same experiment lands under the same exp_id with its own
+    32-hex dir."""
+    import os
+
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+
+    _populated_run(store, tmp_path)
+    eid = store.experiment_by_name("wind-sr")
+    with store.create_run(eid, run_name="second") as run2:
+        run2.log_metric("MAE_train", 0.5, 0)
+
+    dest = str(tmp_path / "mlruns")
+    result = CliRunner().invoke(
+        cli, ["export-mlflow", "--tracking-root", store.root, "--out", dest],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "exported 2 run(s)" in result.output
+    run_dirs = [d for d in os.listdir(os.path.join(dest, eid))
+                if os.path.isdir(os.path.join(dest, eid, d))]
+    assert len(run_dirs) == 2 and all(len(d) == 32 for d in run_dirs)
+
+    # unknown run id is a clean CLI error, not a traceback
+    bad = CliRunner().invoke(
+        cli, ["export-mlflow", "--tracking-root", store.root,
+              "--run", "feedfeedfeedfeed", "--out", dest])
+    assert bad.exit_code != 0
+    assert "not found" in bad.output

@@ -311,12 +311,70 @@ def test_grad_accum_validation():
         HyperParams(batch_size=8, grad_accum=3)
     with pytest.raises(ValueError, match="grad_accum"):
         HyperParams(grad_accum=0)
-    # batch-std-normalized regularizers are not per-sample means, so
-    # microbatching would silently change their gradients — rejected.
+    # batch-std-normalized regularizers compose with grad_accum under
+    # documented per-microbatch normalization semantics (config.py) —
+    # the combo must construct.
     for kw in ({"eof_lambda": 1.0}, {"divergence_lambda": 0.1},
                {"vorticity_lambda": 0.1}):
-        with pytest.raises(ValueError, match="batch-WIDE"):
-            HyperParams(batch_size=8, grad_accum=2, **kw)
+        HyperParams(batch_size=8, grad_accum=2, **kw)
+
+
+def test_accum_machinery_k1_equals_plain_vag_on_physics_loss():
+    """Per-microbatch normalization semantics reduce EXACTLY to the
+    full-batch computation at one microbatch: _accum_value_and_grad(k=1)
+    on a batch-std-normalized loss == jax.value_and_grad."""
+    from downgan_tpu.ops.losses import divergence_loss
+    from downgan_tpu.training.wgan import _accum_value_and_grad
+
+    fine = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 2))
+    fake0 = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 2))
+
+    def loss(delta, fine, fake0):
+        # blend toward the target: changes the divergence field's SHAPE
+        # (a constant offset would be killed by the spatial derivative)
+        return divergence_loss(fine, fake0 + delta * fine)
+
+    delta = jnp.full((), 0.1, jnp.float32)
+    v1, g1 = jax.value_and_grad(loss)(delta, fine, fake0)
+    v2, g2 = _accum_value_and_grad(loss, 1, has_aux=False)(delta, fine, fake0)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    # and at k=2 it equals the mean of the per-microbatch results — the
+    # documented semantics, computed by hand
+    v3, g3 = _accum_value_and_grad(loss, 2, has_aux=False)(delta, fine, fake0)
+    vs, gs = zip(*(jax.value_and_grad(loss)(delta, fine[i:i + 4],
+                                            fake0[i:i + 4])
+                   for i in (0, 4)))
+    np.testing.assert_allclose(np.asarray(v3), np.mean(vs), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g3), np.mean(gs), rtol=1e-5)
+
+
+def test_grad_accum_composes_with_physics_regularizers():
+    """The physics-regularized objective steps under microbatching: full
+    train step with divergence+vorticity terms and grad_accum=2 runs,
+    yields finite losses, and actually applies the regularizer (different
+    G update than the unregularized step)."""
+    cfg = _accum_config(2, divergence_lambda=0.5, vorticity_lambda=0.5)
+    cfg_plain = _accum_config(2)
+    gen, critic = make_models(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    coarse = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 7))
+    fine = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 2))
+    rng = jax.random.PRNGKey(3)
+
+    s_reg, m_reg = jax.jit(build_train_step(cfg, gen, critic))(
+        state, coarse, fine, rng)
+    s_plain, _ = jax.jit(build_train_step(cfg_plain, gen, critic))(
+        state, coarse, fine, rng)
+    assert int(s_reg.step) == 1
+    for k in ("critic_loss", "gen_loss"):
+        assert np.isfinite(float(m_reg[k])), k
+    # the regularizer reached the generator update (step 0 updates G)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(s_reg.g_params),
+                             jax.tree.leaves(s_plain.g_params))]
+    assert max(diffs) > 0
 
 
 def test_grad_accum_data_parallel_mesh():
