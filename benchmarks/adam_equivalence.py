@@ -303,22 +303,26 @@ def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
                 checks.append({"step": rec["step"], "metric": k,
                                "diff": d, "band": round(band, 5)})
 
-    # Wass dynamics equivalence at the trajectory level
+    # Wass dynamics equivalence at the trajectory level. Only meaningful
+    # once the critic has climbed out of the fp-noise floor: a short
+    # smoke's Wass values are ~1e-3 and their 3-point "correlation" is
+    # reduction-order noise, not signal — gate on the learning budget.
     t_w = np.array([r["torch"]["Wass"] for r in records])
     j_w = np.array([r["jax"]["Wass"] for r in records])
     wass_corr = float(np.corrcoef(t_w, j_w)[0, 1]) if t_w.std() > 0 else 1.0
     final = records[-1]
     final_rel = (abs(t_w[-1] - j_w[-1])
                  / max(abs(t_w[-1]), abs(j_w[-1]), WASS_ABS))
-    if wass_corr < WASS_CORR:
-        passed = False
-        checks.append({"metric": "Wass", "why": "trajectory decorrelated",
-                       "corr": round(wass_corr, 4), "min": WASS_CORR})
-    if final_rel > WASS_FINAL_REL:
-        passed = False
-        checks.append({"metric": "Wass", "why": "final estimates diverged",
-                       "final_rel_diff": round(final_rel, 4),
-                       "max": WASS_FINAL_REL})
+    if steps >= LEARNING_MIN_STEPS:
+        if wass_corr < WASS_CORR:
+            passed = False
+            checks.append({"metric": "Wass", "why": "trajectory decorrelated",
+                           "corr": round(wass_corr, 4), "min": WASS_CORR})
+        if final_rel > WASS_FINAL_REL:
+            passed = False
+            checks.append({"metric": "Wass", "why": "final estimates diverged",
+                           "final_rel_diff": round(final_rel, 4),
+                           "max": WASS_FINAL_REL})
 
     # Learning evidence: both sides' adversarial/spectral/structural
     # coordinates must have moved the calibrated amounts. Needs a real

@@ -124,6 +124,22 @@ def infer_main() -> None:
         times.append(time.perf_counter() - t0)
     median = sorted(times)[len(times) // 2]
     pps = scan_steps * batch / median
+    # Self-audit: one G forward's FLOPs (lowered-HLO census) x scan length
+    try:
+        from downgan_tpu.utils.flops import _lowered_flops
+
+        fwd_flops = _lowered_flops(gen.apply, state.g_params, coarse)
+    except Exception:
+        fwd_flops = 0.0
+    perf = {}
+    if fwd_flops > 0:
+        achieved = fwd_flops * scan_steps / median / 1e12
+        perf = {"flops_per_forward": round(fwd_flops),
+                "achieved_tflops": round(achieved, 2)}
+        if jax.devices()[0].platform == "tpu":
+            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+            perf["peak_tflops"] = peak
+            perf["mfu_vs_peak"] = round(achieved / peak, 4)
     print(json.dumps({
         "metric": f"sr_inference_patches_per_sec_b{batch}",
         "value": round(pps, 1),
@@ -131,6 +147,8 @@ def infer_main() -> None:
         "vs_baseline": round(pps / A100_INFER_PATCHES_PER_SEC, 3),
         "n_chips": len(jax.devices()),
         "dtype": dtype,
+        "rep_times_s": [round(t, 4) for t in times],
+        **perf,
     }))
 
 

@@ -473,8 +473,19 @@ def build_fused_round(
             coarse_n = c2.reshape(coarse_n.shape)
             fine_n = f2.reshape(fine_n.shape)
 
+        # Carry the last critic-iteration fake through the scan so the
+        # metrics_reuse_fake fast path can skip the metric pass's G
+        # forward (same one-update metric lag as the reference-schedule
+        # fast path). Initialized with the generator's true output
+        # shape/dtype (abstract eval — no compute).
+        fake_shape = jax.eval_shape(
+            lambda c: g_apply(state.g_params,
+                              inject(jax.random.fold_in(rng, 0), c)),
+            jax.ShapeDtypeStruct(coarse_n.shape[1:], coarse_n.dtype))
+        fake0 = jnp.zeros(fake_shape.shape, fake_shape.dtype)
+
         def critic_body(carry, batch):
-            c_params, c_opt_state, step = carry
+            c_params, c_opt_state, step, _ = carry
             coarse, fine = batch
             alpha = jax.random.uniform(
                 jax.random.fold_in(rng, step), (fine.shape[0], 1, 1, 1), jnp.float32
@@ -498,11 +509,13 @@ def build_fused_round(
                 c_params, fake_c, real_c, alpha)
             updates, c_opt_state = tx.update(grads, c_opt_state, c_params)
             c_params = optax.apply_updates(c_params, updates)
-            return (c_params, c_opt_state, step + 1), (c_loss, c_real, c_fake)
+            return ((c_params, c_opt_state, step + 1, fake),
+                    (c_loss, c_real, c_fake))
 
-        (c_params, c_opt_state, step), (c_losses, c_reals, c_fakes) = lax.scan(
+        ((c_params, c_opt_state, step, last_fake),
+         (c_losses, c_reals, c_fakes)) = lax.scan(
             critic_body,
-            (state.c_params, state.c_opt_state, state.step),
+            (state.c_params, state.c_opt_state, state.step, fake0),
             (coarse_n, fine_n),
         )
 
@@ -532,8 +545,15 @@ def build_fused_round(
             "Wass": wass_loss(jnp.mean(c_reals), jnp.mean(c_fakes)),
         }
         if with_metrics:
-            fake_m = g_apply(g_params, inject(
-                jax.random.fold_in(jax.random.fold_in(rng, step), 4), g_coarse))
+            # metrics_reuse_fake: reuse the LAST critic-iteration fake
+            # (pre-G-update params, same minibatch as the G update) —
+            # drops the metric pass's G forward per round, metrics lag
+            # one generator update, exactly like the reference-schedule
+            # fast path (build_train_step).
+            fake_m = last_fake if hp.metrics_reuse_fake else g_apply(
+                g_params, inject(
+                    jax.random.fold_in(jax.random.fold_in(rng, step), 4),
+                    g_coarse))
             for name, fn in resolve_metrics(hp.metrics_to_calculate).items():
                 metrics[name] = fn(g_fine, fake_m)
             if "Wass" in hp.metrics_to_calculate:

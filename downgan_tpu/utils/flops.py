@@ -166,11 +166,13 @@ def train_flop_census(
     f_gen_update = k * f_g_vag
     if hp.schedule == "fused":
         # build_fused_round: n_critic critic updates + 1 G update + one
-        # metric pass (always a fresh fake) per round.
+        # metric pass per round (fresh fake unless metrics_reuse_fake,
+        # which reuses the last critic-iteration fake).
         per_round = (
             hp.critic_iterations * f_critic_update
             + f_gen_update
-            + (f_fake_gen + f_metrics if with_metrics else 0.0)
+            + (((0.0 if hp.metrics_reuse_fake else f_fake_gen) + f_metrics)
+               if with_metrics else 0.0)
         )
         total = scan_steps * per_round
     else:

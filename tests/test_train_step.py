@@ -306,6 +306,41 @@ def test_grad_accum_fused_round_matches():
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_fused_round_metrics_reuse_fake():
+    """Under the fused schedule, metrics_reuse_fake computes the metric
+    pass on the LAST critic-iteration fake (pre-G-update params, the G
+    minibatch) instead of a fresh post-update forward: params identical
+    either way, MAE equals the hand-computed value on that fake."""
+    from downgan_tpu.ops.losses import content_loss
+    from downgan_tpu.training.wgan import build_fused_round
+
+    cfg = _accum_config(1, schedule="fused")
+    cfg_reuse = _accum_config(1, schedule="fused", metrics_reuse_fake=True)
+    n = cfg.hp.critic_iterations
+    gen, critic = make_models(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    coarse_n = jax.random.normal(jax.random.PRNGKey(1), (n, 8, 8, 8, 7))
+    fine_n = jax.random.normal(jax.random.PRNGKey(2), (n, 8, 32, 32, 2))
+    rng = jax.random.PRNGKey(3)
+
+    s_fresh, m_fresh = jax.jit(build_fused_round(cfg, gen, critic))(
+        state, coarse_n, fine_n, rng)
+    s_reuse, m_reuse = jax.jit(build_fused_round(cfg_reuse, gen, critic))(
+        state, coarse_n, fine_n, rng)
+
+    # the training update itself is untouched by the metric fast path
+    for a, b in zip(jax.tree.leaves(s_fresh.g_params),
+                    jax.tree.leaves(s_reuse.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # reused metric == metric on the pre-update fake of the last minibatch
+    fake_last = gen.apply(state.g_params, coarse_n[-1])
+    want_mae = float(content_loss(fine_n[-1], fake_last))
+    assert float(m_reuse["MAE"]) == pytest.approx(want_mae, rel=1e-5)
+    # ... which differs from the fresh post-update metric
+    assert float(m_fresh["MAE"]) != pytest.approx(float(m_reuse["MAE"]),
+                                                  rel=1e-7)
+
+
 def test_grad_accum_validation():
     with pytest.raises(ValueError, match="grad_accum"):
         HyperParams(batch_size=8, grad_accum=3)
