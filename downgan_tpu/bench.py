@@ -10,9 +10,12 @@ critic update with nested-grad gradient penalty, scheduled generator
 update, MAE/MSE/MSSSIM/Wass metric pass per step.
 
 Default configuration is the measured single-chip production point
-(batch 128, bfloat16 — the measured throughput knee in both rounds 2 and
-3, convergence-receipted in PERF.md); the reference-parity workload
-(batch 64, fp32) stays one env var away.
+(batch 128, bfloat16 — the measured throughput knee in rounds 2-4 —
+with the tune-recommended fused n-critic schedule + reused metric fake,
+round 4; every piece convergence/quality-receipted in PERF.md and
+benchmarks/quality_gate_results.jsonl). The reference-parity step stays
+env vars away: BENCH_SCHEDULE=reference BENCH_REUSE_FAKE=0 (and
+BENCH_BATCH=64 BENCH_DTYPE=float32 for the reference-parity workload).
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline``
 compares patches/sec/chip against a DERIVED as-shipped A100 reference of
@@ -225,17 +228,27 @@ def main() -> None:
         else ("float32" if smoke else "bfloat16"))
     with_metrics = env_bool("BENCH_METRICS", True)
 
+    # Default = the tune-recommended production point (SWEEP_r04 +
+    # examples/production_tuned.json): fused n-critic rounds with the
+    # reused metric fake — quality-receipted at the fixed gate budget
+    # (quality_gate.py --fused: MSSSIM 0.2685 vs the reference
+    # schedule's 0.2613). The reference-parity workload stays one env
+    # var away (BENCH_SCHEDULE=reference BENCH_REUSE_FAKE=0); smoke and
+    # --config runs keep their own explicit settings.
+    default_schedule = (base.hp.schedule if base_path
+                        else ("reference" if smoke else "fused"))
+    default_reuse = (base.hp.metrics_reuse_fake if base_path
+                     else (False if smoke else True))
     hp_kw = dict(
         batch_size=batch,
         compute_dtype=dtype,
         remat=env_bool("BENCH_REMAT", base.hp.remat),
         fused_critic_pass=env_bool("BENCH_FUSED_CRITIC",
                                    base.hp.fused_critic_pass),
-        metrics_reuse_fake=env_bool("BENCH_REUSE_FAKE",
-                                    base.hp.metrics_reuse_fake),
+        metrics_reuse_fake=env_bool("BENCH_REUSE_FAKE", default_reuse),
         grad_accum=env_int("BENCH_GRAD_ACCUM", base.hp.grad_accum),
         augment_flips=env_bool("BENCH_AUGMENT", base.hp.augment_flips),
-        schedule=os.environ.get("BENCH_SCHEDULE", base.hp.schedule),
+        schedule=os.environ.get("BENCH_SCHEDULE", default_schedule),
     )
     if smoke:
         hp_kw["metrics_to_calculate"] = ("MAE", "MSE", "Wass")

@@ -35,6 +35,22 @@ def test_quality_gate_smoke():
     assert rec["metrics"]["Wass_test"] == rec["metrics"]["Wass_test"]  # not NaN
 
 
+def test_quality_gate_smoke_fused():
+    """--fused drives the tune-recommended production fast path (fused
+    schedule + reused metric fake) through the same harness."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, GATE, "--smoke", "--fused"], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["fused"] is True
+    assert rec["passed"] is True
+    assert rec["metrics"]["MAE_test"] > 0
+
+
 def test_quality_gate_smoke_stochastic():
     """--stochastic trains a noise-conditioned generator and appends the
     probabilistic report (fair CRPS / spread / ensemble-mean MAE)."""
