@@ -88,14 +88,18 @@ def _resolve_source_config(config_path, region, checkpoint, run_id,
 
 
 def _restore_params_cli(config, checkpoint, **kw):
-    """restore_generator_params with CLI-grade errors: the weights-only
-    branch refuses --epoch/--ema on a bundle via ValueError — surface
-    that as a usage error instead of a raw traceback."""
-    from downgan_tpu.inference import restore_generator_params
+    """restore_generator_params with CLI-grade errors: flag-contradiction
+    refusals (--epoch/--ema against a weights-only bundle) surface as
+    usage errors; anything else (corrupt checkpoint, shape mismatch deep
+    in orbax) keeps its traceback for diagnosis."""
+    from downgan_tpu.inference import (
+        RestoreUsageError,
+        restore_generator_params,
+    )
 
     try:
         return restore_generator_params(config, checkpoint, **kw)
-    except ValueError as e:
+    except RestoreUsageError as e:
         raise click.UsageError(str(e))
 
 

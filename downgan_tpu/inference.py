@@ -23,6 +23,12 @@ from downgan_tpu.training.state import make_models
 from downgan_tpu.utils.checkpoint import CheckpointManager, load_params
 
 
+class RestoreUsageError(ValueError):
+    """A restore refusal caused by contradictory user flags (e.g. --epoch
+    or --ema against a weights-only bundle) — the CLI surfaces these as
+    usage errors; any other exception keeps its traceback."""
+
+
 def resolve_run_checkpoint(
     tracking_root: str, run_id: str
 ) -> Tuple[object, str, Optional[Config]]:
@@ -119,13 +125,13 @@ def restore_generator_params(
     )
     if weights_only:
         if step is not None:
-            raise ValueError(
+            raise RestoreUsageError(
                 "weights-only checkpoints (and exported bundles) hold a "
                 "single set of params — an epoch/step cannot be selected. "
                 "Use the full Trainer checkpoint directory to restore a "
                 "specific epoch.")
         if use_ema:
-            raise ValueError(
+            raise RestoreUsageError(
                 "weights-only checkpoints (and exported bundles) hold one "
                 "set of params — if the bundle was exported with --ema "
                 "those already ARE the EMA weights; drop --ema (restore "
@@ -138,7 +144,7 @@ def restore_generator_params(
     mngr.close()
     if use_ema:
         if state.g_ema is None:
-            raise ValueError("checkpoint has no EMA weights (hp.ema_decay was 0)")
+            raise RestoreUsageError("checkpoint has no EMA weights (hp.ema_decay was 0)")
         return state.g_ema
     return state.g_params
 

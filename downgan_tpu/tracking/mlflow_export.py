@@ -28,7 +28,10 @@ import os
 import shutil
 from typing import Optional
 
-from downgan_tpu.tracking.store import Run, TrackingStore
+# mlflow validates keys to alnum + ./_- ; _safe sanitizes the same way
+# the tracker names its on-disk histories, so exported metric/param
+# filenames stay in lockstep with the store's.
+from downgan_tpu.tracking.store import Run, TrackingStore, _safe as _fname
 
 #: MLflow RunStatus enum values (mlflow/entities/run_status.py).
 _STATUS = {"RUNNING": 1, "SCHEDULED": 2, "FINISHED": 3, "FAILED": 4,
@@ -36,9 +39,9 @@ _STATUS = {"RUNNING": 1, "SCHEDULED": 2, "FINISHED": 3, "FAILED": 4,
 
 
 def _yaml_scalar(v) -> str:
-    """Render one scalar the way mlflow's FileStore does (PyYAML default
-    style): bare numbers/bools, single-quoted strings when they could be
-    misparsed, plain strings otherwise."""
+    """Render one scalar so ``yaml.safe_load`` (what mlflow's FileStore
+    uses) round-trips it: bare numbers/bools, single-quoted strings unless
+    unambiguously plain."""
     if v is None:
         return "null"
     if isinstance(v, bool):
@@ -46,14 +49,19 @@ def _yaml_scalar(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     s = str(v)
-    needs_quote = (
-        s == "" or s != s.strip()
-        or any(c in s for c in ":#{}[]&*!|>%@`\"'\\\n")
-        or s.lower() in ("null", "true", "false", "yes", "no", "on", "off")
-        or s[0] in "-?,"
-        or s.replace(".", "", 1).replace("-", "", 1).isdigit()
+    # Quote unless unambiguously a plain YAML string: starts with a
+    # letter/underscore, only benign characters, not a keyword, no
+    # surrounding whitespace. Over-quoting is always safe for safe_load;
+    # the allowlist shape means YAML 1.1's numeric forms (0x1f, 1_000,
+    # +1, 1e3, sexagesimals, dates) all fail it and get quoted.
+    plain = (
+        s != "" and s == s.strip()
+        and (s[0].isalpha() or s[0] == "_")
+        and all(c.isalnum() or c in "-_. /()" for c in s)
+        and s.lower() not in ("null", "true", "false", "yes", "no",
+                              "on", "off", "none")
     )
-    if needs_quote:
+    if not plain:
         return "'" + s.replace("'", "''") + "'"
     return s
 
@@ -154,9 +162,3 @@ def export_experiment(store: TrackingStore, experiment_id: str,
                       dest_root: str) -> list:
     """Export every run of an experiment; returns the run dirs written."""
     return [export_run(r, dest_root) for r in store.runs(experiment_id)]
-
-
-def _fname(key: str) -> str:
-    # mlflow validates keys to alnum + ./_- ; sanitize the rest the same
-    # way the tracker's own _safe does so histories keep their names
-    return "".join(c if c.isalnum() or c in "-_." else "_" for c in key)

@@ -136,6 +136,7 @@ def train_flop_census(
     )
 
     f_metrics = 0.0
+    metrics_expected = with_metrics and bool(hp.metrics_to_calculate)
     if with_metrics:
         metric_fns = resolve_metrics(hp.metrics_to_calculate)
 
@@ -159,7 +160,11 @@ def train_flop_census(
         "gen_vag_microbatch": f_g_vag,
         "metrics": f_metrics,
     }
-    if not (f_fake_gen and f_c_vag and f_g_vag):
+    # A census missing ANY piece it is supposed to count (including the
+    # metric pass when with_metrics) is invalid — returning a positive
+    # but understated total would silently corrupt the bench self-audit.
+    if not (f_fake_gen and f_c_vag and f_g_vag
+            and (f_metrics or not metrics_expected)):
         return {"total_flops": 0.0, "flops_per_step": 0.0, "pieces": pieces}
 
     f_critic_update = f_fake_gen + k * f_c_vag
