@@ -153,14 +153,19 @@ class PReLU(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """Stateless batch normalization (training-mode semantics).
+    """Stateless per-sample (instance) normalization with BN's learnable
+    scale/bias.
 
-    The reference's SRGAN variant uses nn.BatchNorm2d; keeping running
-    statistics would add a mutable collection to the otherwise pure
-    GANTrainState, and the variant never ran upstream (it is commented
-    out, ``networks/generator.py:93-204``), so this normalizes by the
-    current batch's statistics with learnable scale/bias — identical to
-    torch training-mode BN.
+    The reference's SRGAN variant uses nn.BatchNorm2d, but that variant
+    never ran upstream (commented out, ``networks/generator.py:93-204``),
+    so the semantics are ours to pin. Per-BATCH statistics would make a
+    sample's output depend on the rest of its batch — nondeterministic
+    serving under request coalescing, metrics that shift with test-batch
+    partitioning, and padded samples in chunked inference polluting real
+    ones. Normalizing each sample by its own spatial statistics is
+    batch-size-invariant and identical in training and inference, and
+    keeps the train state pure (running statistics would add a mutable
+    collection). Same parameter tree as BN (scale/bias per channel).
     """
 
     epsilon: float = 1e-5
@@ -170,8 +175,8 @@ class BatchNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", lambda k, s: jnp.ones(s), (c,))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
-        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
 
 

@@ -260,6 +260,10 @@ class Trainer:
 
         self.gen, self.critic = make_models(config)
         self.epoch = 0
+        # Host-side mirror of state.step (kept in sync per epoch, re-read
+        # on resume): lets _run_train_epoch rescale the logged gen_loss
+        # without a per-epoch device fetch.
+        self._steps_done = 0
 
         if mesh is not None:
             from downgan_tpu.parallel.dp import build_dp_epoch_scan, build_dp_train_step
@@ -317,6 +321,22 @@ class Trainer:
         # Checkpoints are written AFTER an epoch completes, so training
         # continues at the next one.
         self.epoch = int(self.ckpt.latest_step()) + 1
+        self._steps_done = int(self.state.step)
+        # Best-checkpoint tracking state lives in best.json, not the train
+        # state — restore it too, or the first post-resume test pass would
+        # always count as an "improvement" and overwrite the best bundle
+        # with possibly worse weights.
+        if self.track_best and self.best_dir:
+            best_json = os.path.join(self.best_dir, "best.json")
+            if os.path.exists(best_json):
+                with open(best_json) as f:
+                    rec = json.load(f)
+                # Ignore a record tracking a different metric/direction
+                # (the user changed --track-best between runs).
+                if (rec.get("metric") == self.track_best
+                        and rec.get("mode") == self.best_mode):
+                    self.best_value = float(rec["value"])
+                    self.best_epoch = int(rec.get("epoch", -1))
         if self.verbose and self._primary:
             print(f"resumed from checkpoint of epoch {self.epoch - 1}; "
                   f"continuing at epoch {self.epoch}")
@@ -403,6 +423,47 @@ class Trainer:
         s = jnp.asarray(sel)
         return jnp.take(ds.coarse, s, axis=0), jnp.take(ds.fine, s, axis=0)
 
+    def _step_loop(self, batches, rng: jax.Array):
+        """Per-step jitted loop over ``(coarse, fine)`` batches — the one
+        accumulation path shared by the host-fed, pod host-fed, and
+        per-step device branches. Returns ``(n_steps, epoch-mean dict)``."""
+        sums: Dict[str, float] = {}
+        n = 0
+        for coarse, fine in batches:
+            self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
+            n += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return n, {k: v / max(n, 1) for k, v in sums.items()}
+
+    def _finish_epoch_means(self, n_iters: int,
+                            means: Dict[str, float]) -> Dict[str, float]:
+        """``gen_loss`` is our own addition to the reference's logged
+        registry (the reference logs only the metric pass,
+        ``wasserstein.py:137-146``); on the reference schedule the
+        compiled step emits an exact 0.0 on the steps that skip the G
+        update (``wgan.py g_skip``), so the raw per-step mean is diluted
+        ~1/critic_iterations and not comparable with the fused schedule's
+        per-round values. The zeros add nothing to the sum, so rescaling
+        by n_iters / n_updates yields exactly the mean over the G updates
+        actually performed. Also advances the host-side step mirror
+        (``n_iters`` is steps on the reference schedule, rounds on the
+        fused one — which moves state.step by critic_iterations each)."""
+        hp = self.config.hp
+        if hp.schedule != "reference":
+            self._steps_done += n_iters * hp.critic_iterations
+            return means
+        if "gen_loss" in means and n_iters:
+            nc = hp.critic_iterations
+            s0 = self._steps_done
+            # G updates in [s0, s0 + n_iters): count of multiples of nc.
+            n_upd = (s0 + n_iters - 1) // nc - -(-s0 // nc) + 1
+            if n_upd > 0:
+                means = dict(means)
+                means["gen_loss"] = means["gen_loss"] * (n_iters / n_upd)
+        self._steps_done += n_iters
+        return means
+
     def _run_train_epoch(self, rng: jax.Array) -> Dict[str, float]:
         hp = self.config.hp
         bs = hp.batch_size
@@ -412,28 +473,20 @@ class Trainer:
             # (seed, epoch) so every process draws the SAME global batch
             # order; each host materializes only its rows
             # (process_batch_slice) and the global batch is assembled
-            # device-side (make_global_batch) — per-host data loading.
+            # device-side (make_global_batch) — per-host data loading,
+            # same double-buffered feed as the single-host branch (each
+            # host reads only perm[:, lo:hi] on the reader thread).
             from downgan_tpu.parallel.multihost import (
                 make_global_batch,
                 process_batch_slice,
             )
 
             lo, hi = process_batch_slice(bs)
-            sums: Dict[str, float] = {}
-            n = 0
-            # Same double-buffered feed as the single-host branch below:
-            # each host reads only its rows (perm[:, lo:hi]) on the reader
-            # thread (disk I/O overlaps compute) and assembles the global
-            # batch via make_global_batch in put_fn.
-            for coarse, fine in prefetch_batches(
-                    self.train_ds, perm_np[:, lo:hi],
-                    put_fn=lambda c, f: (make_global_batch(self.mesh, c),
-                                         make_global_batch(self.mesh, f))):
-                self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
-                n += 1
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            return {k: v / max(n, 1) for k, v in sums.items()}
+            n, means = self._step_loop(prefetch_batches(
+                self.train_ds, perm_np[:, lo:hi],
+                put_fn=lambda c, f: (make_global_batch(self.mesh, c),
+                                     make_global_batch(self.mesh, f))), rng)
+            return self._finish_epoch_means(n, means)
         if self._host_fed:
             # SURVEY §7 step 4: double-buffered host->HBM feed; the next
             # batch's transfer overlaps the current step's compute.
@@ -442,15 +495,10 @@ class Trainer:
                 from downgan_tpu.parallel.mesh import batch_sharding
 
                 sharding = batch_sharding(self.mesh)
-            sums: Dict[str, float] = {}
-            n = 0
-            for coarse, fine in prefetch_batches(self.train_ds, perm_np,
-                                                 sharding=sharding):
-                self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
-                n += 1
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            return {k: v / max(n, 1) for k, v in sums.items()}
+            n, means = self._step_loop(
+                prefetch_batches(self.train_ds, perm_np, sharding=sharding),
+                rng)
+            return self._finish_epoch_means(n, means)
         if hp.schedule == "fused":
             n = hp.critic_iterations
             rounds = perm_np.shape[0] // n
@@ -467,32 +515,47 @@ class Trainer:
             self.state, stacked = self._epoch_fn(
                 self.state, self.train_ds.coarse, self.train_ds.fine, perm_np, rng
             )
-            return {k: float(jnp.mean(v)) for k, v in stacked.items()}
-        sums: Dict[str, float] = {}
-        n = 0
-        for idx in perm_np:
-            coarse, fine = self._gather(self.train_ds, idx)
-            self.state, metrics = self._step_fn(self.state, coarse, fine, rng)
-            n += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / max(n, 1) for k, v in sums.items()}
+            means = {k: float(jnp.mean(v)) for k, v in stacked.items()}
+            return self._finish_epoch_means(len(perm_np), means)
+        n, means = self._step_loop(
+            (self._gather(self.train_ds, idx) for idx in perm_np), rng)
+        return self._finish_epoch_means(n, means)
 
-    def _run_test_pass(self) -> Dict[str, float]:
+    def _run_test_pass(self, state: Optional[GANTrainState] = None
+                       ) -> Dict[str, float]:
         """Full test-set metric pass covering EVERY held-out sample
         (:func:`full_split_metric_pass` — shared with the evaluate CLI)."""
         assert self.test_ds is not None
         scan_ok = (self.config.hp.fused_epoch
                    and not isinstance(self.test_ds, HostDataset))
         return full_split_metric_pass(
-            self.state, self.test_ds, self.config.hp.batch_size,
+            self.state if state is None else state,
+            self.test_ds, self.config.hp.batch_size,
             self._epoch_rng(), self._eval_fn,
             eval_scan=self._eval_scan if scan_ok else None,
             gather=self._gather)
 
     def _update_best(self, test_means: Dict[str, float]) -> None:
         """Best-checkpoint tracking: on improvement of the tracked test
-        metric, write the serving weights as a bundle + best.json."""
+        metric, write the serving weights as a bundle + best.json.
+
+        The bundle holds the SERVING weights (EMA when ``hp.ema_decay`` is
+        on), so the selection metric must be measured on those same
+        weights — with EMA on, a second test pass scores the EMA
+        generator (the logged test metrics stay the live-params parity
+        pass), and best.json's value refers to the weights it sits next
+        to. Early in training the EMA trails the live params, so selecting
+        on live metrics would routinely save an EMA bundle that was never
+        the best."""
+        use_ema = self.state.g_ema is not None
+        if use_ema:
+            test_means = self._run_test_pass(
+                self.state.replace(g_params=self.state.g_ema))
+            if (self.run is not None and self._primary
+                    and self.track_best in test_means):
+                self.run.log_metrics(
+                    {f"{self.track_best}_ema_test":
+                     float(test_means[self.track_best])}, step=self.epoch)
         val = test_means.get(self.track_best)
         if val is None or not np.isfinite(val):
             return
@@ -613,7 +676,11 @@ class Trainer:
             # repeated preemption signal during the (possibly long)
             # final save must keep setting the flag, not take the
             # default action and kill the process mid-checkpoint.
-            if self.ckpt is not None:
+            # self.epoch > 0 guards the degenerate epochs=0 run (no
+            # epoch ran — saving would write a bogus step-(-1)
+            # checkpoint of the untrained state that a later resume
+            # would pick up).
+            if self.ckpt is not None and self.epoch > 0:
                 self.ckpt.save(self.epoch - 1, self.state)
                 self.ckpt.wait()
         finally:

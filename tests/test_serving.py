@@ -374,3 +374,22 @@ def test_domain_mesh_matches_single_device():
     # 6 tiles; plain folds 2/dispatch -> 3; mesh rounds the fold up to 8 -> 1
     assert plain.dispatch_count == 3
     assert sharded.dispatch_count == 1
+
+
+def test_srresnet_inference_is_batch_independent():
+    """The norm layer uses per-sample statistics, so a sample's output
+    does not depend on the rest of its batch — deterministic serving
+    under request coalescing, and padded chunks cannot pollute real
+    samples (per-batch statistics would break both)."""
+    import jax
+    import numpy as np
+
+    from downgan_tpu.models.generator import SRResNetGenerator
+
+    g = SRResNetGenerator(filters=8, num_res_blocks=2)
+    rng = np.random.default_rng(0)
+    batch = rng.standard_normal((4, 8, 8, 7)).astype(np.float32)
+    params = g.init(jax.random.PRNGKey(0), batch)
+    full = np.asarray(g.apply(params, batch))
+    alone = np.asarray(g.apply(params, batch[:1]))
+    np.testing.assert_allclose(full[:1], alone, rtol=1e-5, atol=1e-6)

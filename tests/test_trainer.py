@@ -394,12 +394,17 @@ def test_track_best_writes_servable_bundle(tmp_path):
         best = json.load(f)
     assert best["metric"] == "MAE" and best["mode"] == "min" and best["ema"]
 
-    # best.json agrees with the logged per-epoch test CSV
+    # With EMA on, the bundle holds EMA weights, so selection runs on the
+    # EMA test metric (logged as MAE_ema_test) — NOT the live-params test
+    # CSV, whose best epoch can differ.
+    ema_hist = run.metric_history("MAE_ema_test")
+    ema_vals = [h["value"] for h in ema_hist]
+    assert best["epoch"] == ema_hist[int(np.argmin(ema_vals))]["step"]
+    assert best["value"] == pytest.approx(min(ema_vals))
+    # the per-epoch live test CSV is still the parity log
     with open(run.artifact_path("test_metrics.csv")) as f:
         rows = list(csv.DictReader(f))
-    maes = [float(r["MAE"]) for r in rows]
-    assert best["epoch"] == int(np.argmin(maes))
-    assert best["value"] == pytest.approx(min(maes))
+    assert len(rows) == 3
 
     # the bundle is servable: weights-only restore + forward pass
     params = restore_generator_params(config, os.path.join(best_dir, "params"),
@@ -411,6 +416,10 @@ def test_track_best_writes_servable_bundle(tmp_path):
         np.float32))
     assert out.shape == (1, config.fine_size, config.fine_size,
                          config.n_predictands)
+    # the receipt: re-measuring the bundle's own weights on the test set
+    # reproduces exactly the value best.json claims for them
+    measured = trainer._run_test_pass(trainer.state.replace(g_params=params))
+    assert measured["MAE"] == pytest.approx(best["value"], rel=1e-5)
     # tracker carries the improvement trace
     assert run.metric_history("best_MAE_test")
 
@@ -432,3 +441,97 @@ def test_track_best_validation():
                     track_best=absent, best_dir="x")
     with pytest.raises(ValueError, match="best_dir"):
         Trainer(config, train_ds, test_ds, verbose=False, track_best="MAE")
+
+
+def test_track_best_resume_restores_best_state(tmp_path):
+    """Resume must read best.json back: without it, the first post-resume
+    test pass would always count as an improvement and overwrite the best
+    bundle with possibly worse weights."""
+    import json
+
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    best_dir = str(tmp_path / "best")
+    t1 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt,
+                 verbose=False, track_best="MAE", best_dir=best_dir)
+    t1.train(epochs=3)
+    ckpt.wait()
+    with open(os.path.join(best_dir, "best.json")) as f:
+        rec = json.load(f)
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    t2 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt2,
+                 verbose=False, track_best="MAE", best_dir=best_dir)
+    assert t2.maybe_resume()
+    assert t2.best_value == pytest.approx(rec["value"])
+    assert t2.best_epoch == rec["epoch"]
+    # a strictly worse value no longer overwrites the bundle
+    t2._update_best({"MAE": rec["value"] + 1.0})
+    with open(os.path.join(best_dir, "best.json")) as f:
+        assert json.load(f) == rec
+    # a changed tracked metric ignores the stale record
+    t3 = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt2,
+                 verbose=False, track_best="MSE", best_dir=best_dir)
+    assert t3.maybe_resume()
+    assert t3.best_value is None
+    ckpt2.close()
+
+
+def test_epochs_zero_writes_no_checkpoint(tmp_path):
+    """A degenerate epochs=0 run must not save a step-(-1) checkpoint of
+    the untrained state (a later resume would silently pick it up)."""
+    config = tiny_config()
+    train_ds, test_ds = tiny_datasets(config)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    t = Trainer(config, train_ds, test_ds, checkpoint_manager=ckpt,
+                verbose=False)
+    t.train(epochs=0)
+    ckpt.wait()
+    assert ckpt.latest_step() is None
+    ckpt.close()
+
+
+def test_gen_loss_epoch_mean_counts_updates_only(tmp_path):
+    """The logged gen_loss_train is the mean over the G updates actually
+    performed, not diluted by the 0.0 the compiled step emits on skip
+    steps (4-of-5 with critic_iterations=5)."""
+    import csv
+
+    from downgan_tpu.training.wgan import build_train_step
+
+    config = tiny_config()  # critic_iterations=5, 16 samples / bs 4 = 4 steps
+    train_ds, test_ds = tiny_datasets(config)
+    store = TrackingStore(str(tmp_path / "exps"))
+    run = store.create_run(store.create_experiment("t")).start()
+    trainer = Trainer(config, train_ds, test_ds, run=run, verbose=False)
+    trainer.train(epochs=2)
+
+    # replay the identical trajectory with the raw step fn and average
+    # gen_loss over ONLY the update steps of each epoch window
+    state = create_state(config, jax.random.PRNGKey(config.seed))
+    step_fn = jax.jit(build_train_step(config, trainer.gen, trainer.critic))
+    base_rng = jax.random.PRNGKey(config.seed + 1)
+    expected = []
+    step = 0
+    for epoch in range(2):
+        rng = jax.random.fold_in(base_rng, epoch)
+        perm = train_ds.epoch_perm(np.random.default_rng((config.seed, epoch)),
+                                   config.hp.batch_size)
+        losses = []
+        for idx in perm:
+            coarse = jax.numpy.take(train_ds.coarse, jax.numpy.asarray(idx), 0)
+            fine = jax.numpy.take(train_ds.fine, jax.numpy.asarray(idx), 0)
+            state, metrics = step_fn(state, coarse, fine, rng)
+            if step % config.hp.critic_iterations == 0:
+                losses.append(float(metrics["gen_loss"]))
+            step += 1
+        expected.append(np.mean(losses))
+
+    with open(run.artifact_path("train_metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    logged = [float(r["gen_loss"]) for r in rows]
+    # epoch 0: update at global step 0; epoch 1: update at global step 5 —
+    # both windows contain exactly one update, so the corrected mean IS
+    # that update's loss (a raw mean would be ~1/4 of it)
+    np.testing.assert_allclose(logged, expected, rtol=1e-5)
