@@ -24,6 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def epoch_permutation(n: int, rng: np.random.Generator, batch_size: int,
+                      shuffle: bool = True) -> np.ndarray:
+    """(n_steps, batch_size) drop-last permutation index matrix — the ONE
+    batch-order rule every residency tier shares, so device-resident,
+    host-fed, and disk-streamed training draw bit-identical trajectories.
+    int32: it feeds device gathers."""
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    n_steps = n // batch_size
+    return idx[: n_steps * batch_size].reshape(n_steps, batch_size).astype(np.int32)
+
+
 @dataclasses.dataclass
 class DeviceDataset:
     """Paired (coarse, fine) arrays resident on device, NHWC.
@@ -49,10 +60,7 @@ class DeviceDataset:
 
     def epoch_perm(self, rng: np.random.Generator, batch_size: int, shuffle: bool = True) -> np.ndarray:
         """(n_steps, batch_size) permutation index matrix, drop-last."""
-        n = len(self)
-        idx = rng.permutation(n) if shuffle else np.arange(n)
-        n_steps = n // batch_size
-        return idx[: n_steps * batch_size].reshape(n_steps, batch_size).astype(np.int32)
+        return epoch_permutation(len(self), rng, batch_size, shuffle)
 
     def batches(
         self, rng: np.random.Generator, batch_size: int, shuffle: bool = True

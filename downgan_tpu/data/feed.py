@@ -33,10 +33,11 @@ class HostDataset:
 
     def epoch_perm(self, rng: np.random.Generator, batch_size: int,
                    shuffle: bool = True) -> np.ndarray:
-        n = len(self)
-        idx = rng.permutation(n) if shuffle else np.arange(n)
-        n_steps = n // batch_size
-        return idx[: n_steps * batch_size].reshape(n_steps, batch_size)
+        """Same drop-last permutation as DeviceDataset (one shared helper:
+        residency tiers must draw bit-identical batch orders)."""
+        from downgan_tpu.data.dataset import epoch_permutation
+
+        return epoch_permutation(len(self), rng, batch_size, shuffle)
 
 
 def prefetch_batches(

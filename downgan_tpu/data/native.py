@@ -37,13 +37,28 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib_path = os.path.join(cache, "libcfdecode.so")
     if (not os.path.exists(lib_path)
             or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+        # Compile to a private temp path and rename into place: the cache
+        # is shared (pod hosts on one home dir, multi-process tests), so a
+        # direct -o to lib_path would let concurrent g++ runs interleave
+        # writes into one .so — and a timeout-killed compile would leave a
+        # partial file whose fresh mtime suppresses every later rebuild.
+        # os.replace is atomic on one filesystem, and an already-dlopen'd
+        # mapping is unaffected by the rename (unlike in-place truncation).
+        tmp = f"{lib_path}.{os.getpid()}.tmp"
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, lib_path)
         except (OSError, subprocess.SubprocessError):
             return None
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     try:
         lib = ctypes.CDLL(lib_path)
     except OSError:

@@ -40,13 +40,19 @@ def standardize(arr: np.ndarray) -> Tuple[np.ndarray, float, float]:
     """Z-score over all elements, NaN-skipping (reference :195-201).
 
     float32 arrays take the native C++ single-pass path
-    (``data/native.py``); anything else falls back to numpy.
+    (``data/native.py``); anything else falls back to numpy. Real
+    pipeline inputs are usually crop_array slices (non-contiguous
+    views), so the contiguity the kernel needs is established here with
+    the same copy the in-place z-score requires anyway.
     """
-    if arr.dtype == np.float32 and arr.flags.c_contiguous:
+    if arr.dtype == np.float32:
         from downgan_tpu.data import native
 
-        mean, std, _ = native.nan_moments(arr)
-        return native.standardize_inplace(arr.copy(), mean, std), mean, std
+        buf = np.ascontiguousarray(arr)
+        if buf is arr:  # standardize never mutates its input
+            buf = arr.copy()
+        mean, std, _ = native.nan_moments(buf)
+        return native.standardize_inplace(buf, mean, std), mean, std
     mean = float(np.nanmean(arr))
     std = float(np.nanstd(arr))
     return (arr - mean) / std, mean, std

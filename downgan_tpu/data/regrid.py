@@ -91,10 +91,16 @@ def remap_nearest(
 def coarsen_block_mean(field: np.ndarray, factor: int) -> np.ndarray:
     """Conservative block-mean coarsening of (..., lat, lon) by ``factor``
     (the fine->coarse companion of the 8x SR pairing; used by the synthetic
-    data generator and upscale-consistency checks)."""
+    data generator and upscale-consistency checks). (T, H, W) float32
+    inputs take the native C++ kernel (``native.block_mean_coarsen``);
+    other shapes/dtypes use the numpy reshape-mean."""
     *lead, h, w = field.shape
     if h % factor or w % factor:
         raise ValueError(f"spatial dims ({h},{w}) not divisible by {factor}")
+    if field.ndim == 3 and field.dtype == np.float32:
+        from downgan_tpu.data import native
+
+        return native.block_mean_coarsen(field, factor)
     return field.reshape(*lead, h // factor, factor, w // factor, factor).mean(
         axis=(-3, -1)
     )

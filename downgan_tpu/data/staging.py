@@ -35,24 +35,57 @@ from downgan_tpu.data.pipeline import (
 from downgan_tpu.data.times import wrf_to_dt
 
 
-def _read_var_multifile(path_or_glob: str, var: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+def _read_var_multifile(
+    path_or_glob: str,
+    var: str,
+    raw_var: Optional[str] = None,
+    want_latlon: bool = False,
+):
     """Read a variable (and its time coord if present) across a glob of
-    NetCDF files, concatenated along time (the reference's
-    ``open_mfdataset``, ``gen_experiment_datasets.py:79-84``)."""
+    NetCDF files, concatenated along time in TIME order — the reference's
+    ``open_mfdataset(combine="by_coords")``
+    (``gen_experiment_datasets.py:79-84``), which orders chunks by their
+    coordinates, NOT by filename (lexical order scrambles unpadded names
+    like ``wrf_2.nc`` / ``wrf_10.nc``).
+
+    ``var`` is the standardized name; ``raw_var`` the raw NetCDF variable
+    name from the registry (the reference selects
+    ``ds[covariate_names_ordered[key]]`` — real ERA files store
+    ``lsm``/``sp``/``sr``/``z``, which NON_STANDARD_ATTRIBUTES does not
+    rename). ``want_latlon=True`` additionally returns the (lat, lon)
+    coordinate arrays of the first file (None when absent).
+    """
     paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
     chunks: List[np.ndarray] = []
     times: List[np.ndarray] = []
+    lat = lon = None
     for p in paths:
         with NetCDFFile(p) as f:
             names = {NON_STANDARD_ATTRIBUTES.get(n, n): n for n in f.variable_names}
             coord_names = {NON_STANDARD_ATTRIBUTES.get(n, n): n for n in f.coordinate_names}
-            real = names.get(var, var)
+            real = names.get(var)
+            if real is None and raw_var is not None and raw_var in f.variable_names:
+                real = raw_var
+            if real is None:
+                real = var
             arr = f.variable(real).data
             chunks.append(np.asarray(arr))
             if "time" in coord_names:
                 times.append(np.asarray(f.coord(coord_names["time"])))
+            if want_latlon and lat is None:
+                if "lat" in coord_names:
+                    lat = np.asarray(f.coord(coord_names["lat"]))
+                if "lon" in coord_names:
+                    lon = np.asarray(f.coord(coord_names["lon"]))
+    if (len(chunks) > 1 and len(times) == len(chunks)
+            and all(len(t) for t in times)):
+        order = np.argsort([t[0] for t in times], kind="stable")
+        chunks = [chunks[int(i)] for i in order]
+        times = [times[int(i)] for i in order]
     data = np.concatenate(chunks, axis=0) if chunks[0].ndim == 3 else np.stack(chunks)
     t = np.concatenate(times) if times else None
+    if want_latlon:
+        return data, t, lat, lon
     return data, t
 
 
@@ -146,22 +179,73 @@ def load_fine_coords(
     return lat[lat_sl], lon[lon_sl]
 
 
-def load_covariates(config: Config, n_times: int) -> Dict[str, np.ndarray]:
+def _crop_global_mask(
+    arr: np.ndarray,
+    mask_lat: np.ndarray,
+    mask_lon: np.ndarray,
+    fine_lat: np.ndarray,
+    fine_lon: np.ndarray,
+) -> np.ndarray:
+    """Reference ``crop_global_mask`` (``gen_experiment_datasets.py:100-113``):
+    the saved land-sea mask is a GLOBAL field on a 0-360-longitude grid, so
+    it is cropped by matching the fine grid's extent against the mask's own
+    coordinates (longitudes converted by -360) — keeping the reference's
+    exact slice arithmetic (lat end exclusive of the max-matching row, lon
+    end inclusive)."""
+    mlat1 = int(np.argmin(np.abs(fine_lat.min() - mask_lat)))
+    mlat2 = int(np.argmin(np.abs(fine_lat.max() - mask_lat)))
+    mlon1 = int(np.argmin(np.abs(fine_lon.min() - (-360 + mask_lon))))
+    mlon2 = int(np.argmin(np.abs(fine_lon.max() - (-360 + mask_lon)))) + 1
+    return arr[:, mlat1:mlat2, mlon1:mlon2]
+
+
+def load_covariates(
+    config: Config,
+    n_times: int,
+    fine_coords: Optional[Tuple[Optional[np.ndarray], Optional[np.ndarray]]] = None,
+) -> Dict[str, np.ndarray]:
     """Load + crop coarse covariates; broadcast invariant fields along time
-    (reference ``load_covariates``, ``gen_experiment_datasets.py:115-151``)."""
+    (reference ``load_covariates``, ``gen_experiment_datasets.py:115-151``).
+
+    Parity details that only show on real ERA inputs: variables are found
+    by the registry's raw NetCDF name too (``lsm``/``sp``/``sr``/``z`` —
+    the reference selects ``ds[covariate_names_ordered[key]]``), every
+    covariate is sorted latitude-ascending before the index crop
+    (``sortby("lat", ascending=True)``, ``:133``), and the land-sea mask —
+    a GLOBAL file upstream — is coordinate-cropped against the fine grid
+    (``crop_global_mask``, ``:138``) whenever both sides carry lat/lon
+    coordinates (regional coordinate-less fixtures keep the index crop).
+    Invariant fields are cropped BEFORE the time broadcast (extending a
+    global mask over ~19k steps first would materialize hundreds of GB).
+    """
+    if fine_coords is None:
+        fine_coords = load_fine_coords(config)
+    fine_lat, fine_lon = fine_coords
     out: Dict[str, np.ndarray] = {}
-    for std_name in COVARIATE_NAMES_ORDERED:
+    for std_name, raw_name in COVARIATE_NAMES_ORDERED.items():
         path = config.covariate_paths[std_name]
-        arr, _ = _read_var_multifile(path, std_name)
+        arr, _, lat, lon = _read_var_multifile(
+            path, std_name, raw_var=raw_name, want_latlon=True)
         # Time-invariant fields (lsm, z — config.invariant_fields) arrive as
-        # (lat, lon) or (1, lat, lon); broadcast along time. Shape-driven so
-        # a file that already carries a time axis passes through untouched.
+        # (lat, lon) or (1, lat, lon). Shape-driven so a file that already
+        # carries a time axis passes through untouched.
         if arr.ndim == 2:
             arr = arr[None]
+        if (lat is not None and lat.size == arr.shape[-2] and lat.size > 1
+                and lat[0] > lat[-1]):
+            arr = arr[..., ::-1, :]
+            lat = lat[::-1]
+        if (std_name == "land_sea_mask"
+                and lat is not None and lon is not None
+                and fine_lat is not None and fine_lon is not None
+                and lat.size == arr.shape[-2] and lon.size == arr.shape[-1]):
+            arr = _crop_global_mask(arr, lat, lon,
+                                    np.asarray(fine_lat), np.asarray(fine_lon))
+        else:
+            arr = crop_array(np.asarray(arr), config, 1)
         if arr.shape[0] == 1 and n_times > 1:
             arr = extend_along_time(arr, n_times)
-        arr = crop_array(np.asarray(arr), config, 1)
-        out[std_name] = arr
+        out[std_name] = np.ascontiguousarray(arr)
     return out
 
 

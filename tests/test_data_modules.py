@@ -304,3 +304,149 @@ def test_netcdf_reader_clear_errors(tmp_path):
     with NetCDFFile(good) as f:
         with pytest.raises(KeyError):
             f.variable("nope")
+
+
+def _write_cov_fixtures(tmp_path, rng, n_t, names, lat=None, flip_lat=False,
+                        prefix="cov"):
+    """Covariate fixture files for the florida coarse box (20x86 grid).
+    ``names`` maps std key -> variable name to write; optional lat coords
+    (written flipped+data-flipped when flip_lat, so the geographic content
+    is identical to the ascending original)."""
+    cov_paths = {}
+    for std, var in names.items():
+        p = str(tmp_path / f"{prefix}_{std}.nc")
+        time_dep = std not in ("land_sea_mask", "geopotential")
+        data = rng.standard_normal(
+            ((n_t, 20, 86) if time_dep else (20, 86))).astype(np.float32)
+        dims = ("time", "lat", "lon") if time_dep else ("lat", "lon")
+        coords = {"time": np.arange(n_t, dtype=np.float64)} if time_dep else {}
+        if lat is not None:
+            la, arr = (lat[::-1], np.flip(data, axis=-2)) if flip_lat else (lat, data)
+            coords["lat"] = la
+            data = arr
+        from downgan_tpu.data.netcdf import write_netcdf
+
+        write_netcdf(p, variables={var: data}, dims={var: dims},
+                     coords=coords or None)
+        cov_paths[std] = p
+    return cov_paths
+
+
+def test_covariates_found_by_raw_short_names(tmp_path):
+    """Real ERA files store lsm/sp/sr/z/cape — the registry's raw names
+    (reference selects ds[covariate_names_ordered[key]],
+    gen_experiment_datasets.py:140) — and NON_STANDARD_ATTRIBUTES does not
+    rename them; the loader must find them anyway."""
+    from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
+    from downgan_tpu.data.staging import load_covariates
+
+    n_t = 4
+    long_names = {k: k for k in COVARIATE_NAMES_ORDERED}
+    raw_names = dict(COVARIATE_NAMES_ORDERED)  # std -> lsm/sp/sr/z/cape
+    cov_long = _write_cov_fixtures(tmp_path, np.random.default_rng(0), n_t,
+                                   long_names, prefix="long")
+    cov_raw = _write_cov_fixtures(tmp_path, np.random.default_rng(0), n_t,
+                                  raw_names, prefix="raw")
+    cfg_l = Config(region="florida", covariate_paths=cov_long,
+                   already_preprocessed=False)
+    cfg_r = Config(region="florida", covariate_paths=cov_raw,
+                   already_preprocessed=False)
+    out_l = load_covariates(cfg_l, n_t, fine_coords=(None, None))
+    out_r = load_covariates(cfg_r, n_t, fine_coords=(None, None))
+    assert set(out_l) == set(out_r) == set(COVARIATE_NAMES_ORDERED)
+    for k in out_l:
+        np.testing.assert_array_equal(out_l[k], out_r[k])
+        assert out_l[k].shape == (n_t, 16, 16)
+
+
+def test_covariates_descending_lat_sorted_before_crop(tmp_path):
+    """The reference sorts every covariate latitude-ascending before the
+    index crop (sortby('lat', ascending=True),
+    gen_experiment_datasets.py:133); a descending-lat file must produce
+    the same geographic window as its ascending twin, not a flipped crop
+    of the wrong rows."""
+    from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
+    from downgan_tpu.data.staging import load_covariates
+
+    n_t = 4
+    lat = np.linspace(0.0, 19.0, 20)
+    names = {k: k for k in COVARIATE_NAMES_ORDERED}
+    up = _write_cov_fixtures(tmp_path, np.random.default_rng(1), n_t, names,
+                             lat=lat, flip_lat=False, prefix="asc")
+    dn = _write_cov_fixtures(tmp_path, np.random.default_rng(1), n_t, names,
+                             lat=lat, flip_lat=True, prefix="desc")
+    cfg_u = Config(region="florida", covariate_paths=up,
+                   already_preprocessed=False)
+    cfg_d = Config(region="florida", covariate_paths=dn,
+                   already_preprocessed=False)
+    out_u = load_covariates(cfg_u, n_t, fine_coords=(None, None))
+    out_d = load_covariates(cfg_d, n_t, fine_coords=(None, None))
+    for k in out_u:
+        np.testing.assert_array_equal(out_u[k], out_d[k])
+
+
+def test_global_mask_coordinate_crop(tmp_path):
+    """The land-sea mask is a GLOBAL 0-360-longitude file upstream; it is
+    cropped by matching the fine grid's extent against the mask's own
+    coords with the reference's exact slice arithmetic (crop_global_mask,
+    gen_experiment_datasets.py:100-113), not by regional index slices."""
+    from downgan_tpu.data.netcdf import write_netcdf
+    from downgan_tpu.data.staging import _crop_global_mask, load_covariates
+    from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
+
+    rng = np.random.default_rng(2)
+    # Global-ish mask grid: lat ascending, lon on the 0-360 convention.
+    mask_lat = -40.0 + 0.8 * np.arange(120)
+    mask_lon = 0.8 * np.arange(450)
+    mask = (rng.random((1, 120, 450)) > 0.5).astype(np.float32)
+    # Fine (cropped) grid extent in -180..180 longitudes.
+    fine_lat = 0.1 * np.arange(32, 160)
+    fine_lon = -139.0 + 0.1 * np.arange(560, 688)
+
+    # Unit: the slice arithmetic transcribed from the reference lines.
+    got = _crop_global_mask(mask, mask_lat, mask_lon, fine_lat, fine_lon)
+    mlat1 = int(np.argmin(np.abs(fine_lat.min() - mask_lat)))
+    mlat2 = int(np.argmin(np.abs(fine_lat.max() - mask_lat)))
+    mlon1 = int(np.argmin(np.abs(fine_lon.min() - (-360 + mask_lon))))
+    mlon2 = int(np.argmin(np.abs(fine_lon.max() - (-360 + mask_lon)))) + 1
+    np.testing.assert_array_equal(got, mask[:, mlat1:mlat2, mlon1:mlon2])
+    assert got.shape[1:] == (16, 17)  # lat end-exclusive, lon end-inclusive
+
+    # Integration: load_covariates engages the coordinate crop for the
+    # mask (global file WITH coords + known fine coords) and broadcasts
+    # it along time AFTER cropping.
+    n_t = 4
+    names = {k: k for k in COVARIATE_NAMES_ORDERED}
+    cov = _write_cov_fixtures(tmp_path, rng, n_t, names, prefix="gm")
+    p = str(tmp_path / "gm_land_sea_mask.nc")
+    write_netcdf(p, variables={"lsm": mask},
+                 dims={"lsm": ("time", "lat", "lon")},
+                 coords={"time": np.zeros(1), "lat": mask_lat, "lon": mask_lon})
+    cov["land_sea_mask"] = p
+    cfg = Config(region="florida", covariate_paths=cov,
+                 already_preprocessed=False)
+    out = load_covariates(cfg, n_t, fine_coords=(fine_lat, fine_lon))
+    assert out["land_sea_mask"].shape == (n_t, 16, 17)
+    np.testing.assert_array_equal(out["land_sea_mask"][0], got[0])
+    np.testing.assert_array_equal(out["land_sea_mask"][3], got[0])
+
+
+def test_multifile_glob_ordered_by_time_not_name(tmp_path):
+    """open_mfdataset(combine='by_coords') orders chunks by time; lexical
+    filename order would scramble unpadded names (wrf_2 after wrf_10)."""
+    from downgan_tpu.data.netcdf import write_netcdf
+    from downgan_tpu.data.staging import _read_var_multifile
+
+    rng = np.random.default_rng(3)
+    early = rng.standard_normal((2, 4, 4)).astype(np.float32)
+    late = rng.standard_normal((2, 4, 4)).astype(np.float32)
+    # Lexically "wrf_10.nc" < "wrf_2.nc", but wrf_2 holds the EARLIER times.
+    write_netcdf(str(tmp_path / "wrf_2.nc"), variables={"u10": early},
+                 dims={"u10": ("time", "lat", "lon")},
+                 coords={"time": np.array([0.0, 1.0])})
+    write_netcdf(str(tmp_path / "wrf_10.nc"), variables={"u10": late},
+                 dims={"u10": ("time", "lat", "lon")},
+                 coords={"time": np.array([2.0, 3.0])})
+    data, t = _read_var_multifile(str(tmp_path / "wrf_*.nc"), "u10")
+    np.testing.assert_array_equal(t, [0.0, 1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(data, np.concatenate([early, late]))
