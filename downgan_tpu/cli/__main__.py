@@ -956,9 +956,13 @@ def import_torch(weights, critic_weights, config_path, region, out) -> None:
 @click.option("--mesh/--no-mesh", "use_mesh", default=True,
               help="Shard domain-request tiles data-parallel over all "
               "devices (multi-chip hosts; bit-identical to single-device).")
+@click.option("--max-domain-output-mb", type=int, default=1024,
+              help="413 cap on a domain request's estimated OUTPUT "
+              "allocation (the response is ~sf^2*(P/C) times the input, so "
+              "a body cap alone would not protect host RAM).")
 def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
           ema, host, port, serving_batch, coalesce, max_wait_ms,
-          use_mesh) -> None:
+          use_mesh, max_domain_output_mb) -> None:
     """Serve super-resolution inference over HTTP (POST .npy covariates to
     /v1/generate; GET /healthz, /metrics). No reference equivalent — the
     serving layer for production deployment."""
@@ -981,11 +985,14 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
         from downgan_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
+    out_cap = max_domain_output_mb << 20
     if coalesce:
         model = BatchingSRModel(config, g_params, batch_size=serving_batch,
-                                max_wait_ms=max_wait_ms, mesh=mesh)
+                                max_wait_ms=max_wait_ms, mesh=mesh,
+                                max_domain_output_bytes=out_cap)
     else:
-        model = SRModel(config, g_params, batch_size=serving_batch, mesh=mesh)
+        model = SRModel(config, g_params, batch_size=serving_batch, mesh=mesh,
+                        max_domain_output_bytes=out_cap)
     server = serve_model(model, host, port)
     click.echo(f"SR inference on http://{host}:{port} (batch {model.batch}, "
                f"coalesce={coalesce})")

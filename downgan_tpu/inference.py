@@ -118,10 +118,17 @@ def restore_generator_params(
     equivalent, but with optimizer state available too).
     """
     gen, _ = make_models(config)
-    template = gen.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, config.coarse_size, config.coarse_size,
-                   config.generator_in_channels)),
+    # Abstract template (same pattern as load_bundle): orbax only needs
+    # tree structure + shapes/dtypes, and the explicit LOCAL sharding makes
+    # the restore topology-independent — a concrete gen.init here would
+    # pay a real trace/compile/execute per restore for nothing.
+    dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    template = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev),
+        jax.eval_shape(
+            gen.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, config.coarse_size, config.coarse_size,
+                       config.generator_in_channels))),
     )
     if weights_only:
         if step is not None:
@@ -366,6 +373,11 @@ def _generated_layout(
     streamed :func:`generate_to_netcdf` build from, so their file contents
     cannot drift apart (the streamed-equals-in-memory contract is tested
     bit-for-bit)."""
+    if len(var_names) < p:
+        raise ValueError(
+            f"{p} predictand channels but only {len(var_names)} variable "
+            f"names {tuple(var_names)} — every generated channel must be "
+            "named (silently truncating would drop data from the file)")
     names = list(var_names[:p])
     coords: Dict[str, np.ndarray] = {
         "time": np.arange(n) if times is None else np.asarray(times).astype("float64"),

@@ -54,17 +54,18 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as exc:
-        # Tolerate only the already-initialized case; a misconfigured pod
-        # job with explicit coordinator args must fail loudly, not silently
-        # degrade to single-host training. jax 0.9 phrases the repeat-call
-        # error "distributed.initialize should only be called once." and
-        # the late-call error "...must be called before any JAX calls".
+        # Tolerate only the already-initialized case. Everything else —
+        # including the late-call error ("...must be called before any JAX
+        # calls") on the AUTO-DETECT path — must fail loudly: swallowing it
+        # would silently degrade a pod job to N independent single-host
+        # runs (process_count()==1, every host feeding the full batch).
+        # jax 0.9 phrases the repeat-call error "distributed.initialize
+        # should only be called once.".
         msg = str(exc).lower()
         if ("should only be called once" in msg
                 or "already initialized" in msg):
             return
-        if explicit:
-            raise
+        raise
     except ValueError:
         if explicit:
             raise

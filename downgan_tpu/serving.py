@@ -62,11 +62,19 @@ class SRModel:
         # (wgan.eval_noise_rng): responses are deterministic — the same
         # request always returns the same fields. Ensemble draws are an
         # offline workflow (`generate --ensemble`), not a serving concern.
+        # The latent is drawn PER REQUEST (in the request's own padded
+        # block layout, _augment) and travels with the samples as extra
+        # input channels: a coalesced union batch then reproduces the
+        # direct path's latents bit-for-bit — injecting inside the forward
+        # would key each latent on union-batch position, i.e. on whatever
+        # concurrent traffic a request happened to coalesce with.
         from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
 
         _inject = make_noise_injector(config)
         _rng = eval_noise_rng(config)
-        self._fwd = jax.jit(lambda p, x: gen.apply(p, _inject(_rng, x)))
+        self._stochastic = config.noise_channels > 0
+        self._inject_fn = jax.jit(lambda x: _inject(_rng, x))
+        self._fwd = jax.jit(gen.apply)
         # Multi-chip domain inference: tiles shard over the mesh's data
         # axis (parallel.spatial.tiled_sr_inference(mesh=...)). The
         # fixed-batch patch path stays single-program — its batches are
@@ -114,24 +122,47 @@ class SRModel:
                 f"{tuple(shape)} exceeds cap {self.max_domain_output_bytes}"
             )
 
-    def generate(self, coarse: np.ndarray) -> np.ndarray:
-        if coarse.ndim != 4 or coarse.shape[1:] != (
-            self.config.coarse_size, self.config.coarse_size, self.config.n_covariates
-        ):
+    def _validate_patches(self, coarse: np.ndarray) -> None:
+        """Shared request contract for the patch endpoints (direct AND
+        coalesced paths — one site, so they cannot drift)."""
+        cs, c = self.config.coarse_size, self.config.n_covariates
+        if coarse.ndim != 4 or coarse.shape[1:] != (cs, cs, c):
             raise ValueError(
-                f"expected (N, {self.config.coarse_size}, {self.config.coarse_size}, "
-                f"{self.config.n_covariates}) float32, got {coarse.shape}"
-            )
+                f"expected (N, {cs}, {cs}, {c}) float32, got {coarse.shape}")
+        if coarse.shape[0] == 0:
+            raise ValueError("empty request: need at least one sample")
+
+    def _pad_blocks(self, union: np.ndarray):
+        """Yield compiled-batch-size blocks of ``union`` (last one padded),
+        with the pad count — the ONE padding rule every dispatch path uses."""
+        for start in range(0, union.shape[0], self.batch):
+            block = union[start : start + self.batch]
+            pad = self.batch - block.shape[0]
+            if pad:
+                block = np.concatenate(
+                    [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
+                )
+            yield block, pad
+
+    def _augment(self, coarse: np.ndarray) -> np.ndarray:
+        """Append this request's fixed eval latents as extra input channels,
+        drawn in the request's OWN padded block layout — exactly the latents
+        the in-forward injection draws for a standalone request."""
+        if not self._stochastic:
+            return coarse
+        outs = []
+        for block, pad in self._pad_blocks(coarse):
+            aug = np.asarray(self._inject_fn(jnp.asarray(block, jnp.float32)))
+            outs.append(aug[: self.batch - pad] if pad else aug)
+        return np.concatenate(outs, axis=0)
+
+    def generate(self, coarse: np.ndarray) -> np.ndarray:
+        self._validate_patches(coarse)
+        coarse = self._augment(np.asarray(coarse, np.float32))
         outs = []
         t0 = time.perf_counter()
         with self._lock:  # one compiled program, serialized TPU access
-            for start in range(0, coarse.shape[0], self.batch):
-                block = coarse[start : start + self.batch]
-                pad = self.batch - block.shape[0]
-                if pad:
-                    block = np.concatenate(
-                        [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
-                    )
+            for block, pad in self._pad_blocks(coarse):
                 fake = np.asarray(self._fwd(self._params, jnp.asarray(block, jnp.float32)))
                 self.dispatch_count += 1
                 outs.append(fake[: self.batch - pad] if pad else fake)
@@ -233,9 +264,11 @@ class BatchingSRModel(SRModel):
 
     def __init__(self, config: Config, g_params, batch_size: int = 0,
                  max_request_samples: int = 8192, max_wait_ms: float = 5.0,
-                 mesh=None):
+                 max_domain_output_bytes: int = 1 << 30, mesh=None):
         super().__init__(config, g_params, batch_size=batch_size,
-                         max_request_samples=max_request_samples, mesh=mesh)
+                         max_request_samples=max_request_samples,
+                         max_domain_output_bytes=max_domain_output_bytes,
+                         mesh=mesh)
         self.max_wait_ms = max_wait_ms
         self.dispatch_count = 0  # device dispatches (observability/tests)
         self._queue: "list[tuple[np.ndarray, list, threading.Event]]" = []
@@ -251,20 +284,18 @@ class BatchingSRModel(SRModel):
         self._worker.join(timeout=5)
 
     def generate(self, coarse: np.ndarray) -> np.ndarray:
-        if coarse.ndim != 4 or coarse.shape[1:] != (
-            self.config.coarse_size, self.config.coarse_size, self.config.n_covariates
-        ):
-            raise ValueError(
-                f"expected (N, {self.config.coarse_size}, {self.config.coarse_size}, "
-                f"{self.config.n_covariates}) float32, got {coarse.shape}"
-            )
+        self._validate_patches(coarse)
+        # Latents are drawn HERE, per request, before coalescing: the
+        # union batch then carries them as input channels, so a sample's
+        # fields never depend on what traffic it coalesced with.
+        coarse = self._augment(np.asarray(coarse, np.float32))
         slot: list = [None]
         done = threading.Event()
         t0 = time.perf_counter()
         with self._cv:
             if self._stop:
                 raise RuntimeError("BatchingSRModel is closed")
-            self._queue.append((np.asarray(coarse, np.float32), slot, done))
+            self._queue.append((coarse, slot, done))
             self._cv.notify()
         done.wait()
         if isinstance(slot[0], BaseException):
@@ -301,13 +332,7 @@ class BatchingSRModel(SRModel):
                 # generate_domain (and any direct SRModel.generate use);
                 # dispatch_count is only ever touched under it.
                 with self._lock:
-                    for start in range(0, union.shape[0], self.batch):
-                        block = union[start : start + self.batch]
-                        pad = self.batch - block.shape[0]
-                        if pad:
-                            block = np.concatenate(
-                                [block, np.zeros((pad, *block.shape[1:]), block.dtype)]
-                            )
+                    for block, pad in self._pad_blocks(union):
                         fake = np.asarray(
                             self._fwd(self._params, jnp.asarray(block, jnp.float32))
                         )
@@ -330,6 +355,29 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, arr, allow_pickle=False)
     return buf.getvalue()
+
+
+def _load_npy_checked(body: bytes) -> np.ndarray:
+    """Decode a .npy body, verifying the HEADER's declared payload first:
+    np.load allocates from the declared shape before reading any data, so
+    a few-hundred-byte body declaring a (1e12, ...) array would attempt a
+    multi-TB allocation despite the Content-Length cap."""
+    buf = io.BytesIO(body)
+    version = np.lib.format.read_magic(buf)
+    if version == (1, 0):
+        shape, _, dtype = np.lib.format.read_array_header_1_0(buf)
+    elif version == (2, 0):
+        shape, _, dtype = np.lib.format.read_array_header_2_0(buf)
+    else:
+        raise ValueError(f"unsupported .npy format version {version}")
+    declared = math.prod(shape) * dtype.itemsize  # Python ints: no overflow
+    remaining = len(body) - buf.tell()
+    if declared != remaining:
+        raise ValueError(
+            f".npy header declares {declared} payload bytes but the body "
+            f"carries {remaining}")
+    buf.seek(0)
+    return np.load(buf, allow_pickle=False)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -380,7 +428,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "error": f"request body {length} bytes exceeds cap {cap}"
                 }).encode(), "application/json")
                 return
-            coarse = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+            coarse = _load_npy_checked(self.rfile.read(length))
         except (ValueError, OSError, EOFError) as exc:  # bad .npy body
             self._send(400, json.dumps({"error": str(exc)}).encode(), "application/json")
             return

@@ -393,3 +393,97 @@ def test_srresnet_inference_is_batch_independent():
     full = np.asarray(g.apply(params, batch))
     alone = np.asarray(g.apply(params, batch[:1]))
     np.testing.assert_allclose(full[:1], alone, rtol=1e-5, atol=1e-6)
+
+
+def test_stochastic_coalescing_is_traffic_independent():
+    """Stochastic serving contract: a request's fields are identical
+    whether it runs alone (SRModel) or coalesced with concurrent traffic —
+    latents are drawn per request, not per union-batch position."""
+    from downgan_tpu.serving import BatchingSRModel, SRModel
+
+    config = tiny_config(noise_channels=2)
+    gen, _ = make_models(config)
+    params = gen.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 7 + config.noise_channels)))
+    plain = SRModel(config, params, batch_size=8)
+    model = BatchingSRModel(config, params, batch_size=8, max_wait_ms=100.0)
+    try:
+        rng = np.random.default_rng(11)
+        inputs = [rng.standard_normal((3, 8, 8, 7)).astype(np.float32)
+                  for _ in range(4)]
+        expected = [plain.generate(x) for x in inputs]
+        # determinism of the direct path itself
+        np.testing.assert_array_equal(plain.generate(inputs[0]), expected[0])
+
+        results = [None] * len(inputs)
+        start = threading.Barrier(len(inputs))
+
+        def worker(i):
+            start.wait()
+            results[i] = model.generate(inputs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(inputs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        # 4 requests x 3 samples coalesce into shifted union positions —
+        # the fields must STILL be the standalone ones, bit for bit.
+        for got, want in zip(results, expected):
+            np.testing.assert_array_equal(got, want)
+        assert model.dispatch_count < len(inputs)
+    finally:
+        model.close()
+
+
+def test_empty_request_clean_400(served):
+    """A zero-sample (0, h, w, C) request gets a clean 400 from both
+    paths, not a cryptic np.concatenate error or a timing-dependent 200."""
+    from downgan_tpu.serving import BatchingSRModel, generate_remote
+
+    config, gen, params, url = served
+    empty = np.zeros((0, 8, 8, 7), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        generate_remote(url, empty)
+    assert exc.value.code == 400
+    assert "at least one sample" in exc.value.read().decode()
+    model = BatchingSRModel(config, params, batch_size=4)
+    try:
+        with pytest.raises(ValueError, match="at least one sample"):
+            model.generate(empty)
+    finally:
+        model.close()
+
+
+def test_npy_header_allocation_guard(served):
+    """A tiny body whose .npy header declares a huge array must be a 400
+    (np.load would otherwise attempt the multi-TB allocation the
+    Content-Length cap cannot see)."""
+    import io
+
+    _, _, _, url = served
+    # Forge a header declaring ~7 TB with no payload behind it
+    # (write_array_header_1_0 emits the \\x93NUMPY magic itself).
+    buf = io.BytesIO()
+    np.lib.format.write_array_header_1_0(
+        buf, {"descr": "<f4", "fortran_order": False,
+              "shape": (10**9, 16, 16, 7)})
+    body = buf.getvalue()
+    req = urllib.request.Request(
+        f"{url}/v1/generate", data=body,
+        headers={"Content-Type": "application/octet-stream"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
+    assert "payload" in exc.value.read().decode()
+
+
+def test_generated_layout_refuses_unnamed_channels():
+    """More predictand channels than variable names must raise, not
+    silently truncate channels out of the written NetCDF."""
+    from downgan_tpu.inference import _generated_layout
+
+    with pytest.raises(ValueError, match="must be named"):
+        _generated_layout(4, 32, 32, 3, ("u10", "v10"), None, None, None, 5)
