@@ -956,10 +956,11 @@ def import_torch(weights, critic_weights, config_path, region, out) -> None:
 @click.option("--mesh/--no-mesh", "use_mesh", default=True,
               help="Shard domain-request tiles data-parallel over all "
               "devices (multi-chip hosts; bit-identical to single-device).")
-@click.option("--max-domain-output-mb", type=int, default=1024,
+@click.option("--max-domain-output-mb", type=click.IntRange(min=0),
+              default=1024,
               help="413 cap on a domain request's estimated OUTPUT "
               "allocation (the response is ~sf^2*(P/C) times the input, so "
-              "a body cap alone would not protect host RAM).")
+              "a body cap alone would not protect host RAM); 0 = uncapped.")
 def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
           ema, host, port, serving_batch, coalesce, max_wait_ms,
           use_mesh, max_domain_output_mb) -> None:
@@ -985,7 +986,9 @@ def serve(config_path, checkpoint, run_id, tracking_root, epoch, weights_only,
         from downgan_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    out_cap = max_domain_output_mb << 20
+    # 0 = uncapped (the CLI's usual "0 = off" convention); a literal 0
+    # cap would 413 every domain request.
+    out_cap = (max_domain_output_mb << 20) if max_domain_output_mb else (1 << 62)
     if coalesce:
         model = BatchingSRModel(config, g_params, batch_size=serving_batch,
                                 max_wait_ms=max_wait_ms, mesh=mesh,
@@ -1167,20 +1170,23 @@ def prepare_covariates(config_path, region, which_set) -> None:
     sel_mask = train_mask.copy() if which_set == "train" else ~train_mask
     sel_mask[0] = False  # legacy quirk: first WRF field dropped (covariates.py)
 
-    # Standardize the TRAIN subset to get the stats, then apply to the split.
-    train_sub = {k: v[train_mask] for k, v in cov.items()}
-    _, stats = standardize_all(train_sub)
+    # Statistics masks follow the reference exactly (covariates.py:60-64,
+    # 115-147): the train split standardizes over ITSELF (first field
+    # already dropped); the validation split uses ~time_mask computed
+    # AFTER time_mask[0]=False — i.e. the train times PLUS the dropped
+    # first field (a reference quirk, kept for numerical parity).
+    stats_mask = sel_mask if which_set == "train" else ~sel_mask
+    stats_sub = {k: v[stats_mask] for k, v in cov.items()}
+    _, stats = standardize_all(stats_sub)
     selected = {k: v[sel_mask] for k, v in cov.items()}
     standardized, _ = standardize_all(selected, stats=stats)
 
     os.makedirs(config.proc_data_dir, exist_ok=True)
-    import json as _json
-
     stats_path = os.path.join(
         config.proc_data_dir, f"cov_stats_{config.region}.json"
     )
     with open(stats_path, "w") as f:
-        _json.dump({k: list(v) for k, v in stats.items()}, f, indent=2)
+        json.dump({k: list(v) for k, v in stats.items()}, f, indent=2)
     click.echo(stats_path)
     for name in COVARIATE_NAMES_ORDERED:
         arr = np.asarray(standardized[name], dtype=np.float32)
@@ -1425,9 +1431,21 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
 
     best = max(candidates, key=lambda r: r["value"])
     if fast_paths:
+        base_val = best["value"]
+        singles = {}
         for toggle in ("reuse_fake", "fused_critic"):
             rec = measure(best["batch"], best["dtype"], best["schedule"],
                           **{toggle: True})
+            if rec is not None:
+                candidates.append(rec)
+                singles[toggle] = rec["value"]
+        # Measure the COMBINATION when each toggle wins on its own —
+        # otherwise the recommendation could never carry both even on
+        # hardware where the wins compose.
+        if all(singles.get(t, 0) > base_val
+               for t in ("reuse_fake", "fused_critic")):
+            rec = measure(best["batch"], best["dtype"], best["schedule"],
+                          reuse_fake=True, fused_critic=True)
             if rec is not None:
                 candidates.append(rec)
         best = max(candidates, key=lambda r: r["value"])

@@ -363,9 +363,14 @@ class Config:
     @property
     def num_upsample(self) -> int:
         n = self.fine_size // self.coarse_size
-        k = n.bit_length() - 1
-        if (1 << k) != n:
-            raise ValueError(f"fine/coarse ratio {n} must be a power of two")
+        k = max(n.bit_length() - 1, 0)
+        # Check against the SIZES, not the floor-divided ratio: 192/128
+        # floor-divides to 1 (a "power of two") yet 192 != 128<<0 — the
+        # generator would silently be built with the wrong output size.
+        if self.fine_size != self.coarse_size << k:
+            raise ValueError(
+                f"fine_size {self.fine_size} must be coarse_size "
+                f"{self.coarse_size} times a power of two")
         return k
 
     @property

@@ -71,16 +71,21 @@ class TrackingHandler(SimpleHTTPRequestHandler):
                     f"<tr><th>id</th><th>experiment</th></tr>{rows}</table>"
                 )
             elif parts[0] == "exp" and len(parts) == 2:
+                # Only registered experiment ids: a raw path component fed
+                # to store.runs() would os.path.join into the filesystem
+                # (e.g. /exp/.. listing the store root's parent).
+                if parts[1] not in store.experiments():
+                    raise KeyError(parts[1])
                 rows = "".join(
                     f'<tr><td><a href="/run/{r.run_id}">{r.run_id}</a></td>'
                     f"<td>{html.escape(r.meta.get('run_name', ''))}</td>"
-                    f"<td>{r.meta.get('status', '')}</td></tr>"
+                    f"<td>{html.escape(str(r.meta.get('status', '')))}</td></tr>"
                     for r in store.runs(parts[1])
                 )
                 self._send_html(
                     f'<p><a href="/">&larr; experiments</a></p><h1>experiment '
-                    f"{parts[1]}</h1><table><tr><th>run</th><th>name</th>"
-                    f"<th>status</th></tr>{rows}</table>"
+                    f"{html.escape(parts[1])}</h1><table><tr><th>run</th>"
+                    f"<th>name</th><th>status</th></tr>{rows}</table>"
                 )
             elif parts[0] == "run" and len(parts) == 2:
                 run = store.get_run(parts[1])
@@ -128,17 +133,26 @@ class TrackingHandler(SimpleHTTPRequestHandler):
                 # <run>/artifacts_evil cannot pass a prefix check.
                 if os.path.commonpath([real_fpath, real_root]) != real_root:
                     raise KeyError("path escape")
+                # Stream, don't slurp: artifact dirs hold multi-GB orbax
+                # checkpoint files; f.read() of one could OOM the server.
+                import shutil
+
                 with open(fpath, "rb") as f:
-                    data = f.read()
-                self.send_response(200)
-                self.send_header("Content-Type", self.guess_type(fpath))
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                    self.send_response(200)
+                    self.send_header("Content-Type", self.guess_type(fpath))
+                    self.send_header(
+                        "Content-Length", str(os.fstat(f.fileno()).st_size))
+                    self.end_headers()
+                    shutil.copyfileobj(f, self.wfile)
             else:
                 self._send_html("<h1>404</h1>", 404)
-        except (KeyError, FileNotFoundError):
-            self._send_html("<h1>404</h1>", 404)
+        # OSError covers IsADirectoryError/PermissionError on the artifact
+        # open — answer 404, don't kill the handler thread mid-connection.
+        except (KeyError, OSError):
+            try:
+                self._send_html("<h1>404</h1>", 404)
+            except OSError:
+                pass  # client gone (e.g. pipe broke mid-stream)
 
 
 def serve(root: str, host: str = "0.0.0.0", port: int = 5555) -> HTTPServer:

@@ -192,15 +192,26 @@ class TrackingStore:
         return None
 
     def create_experiment(self, name: str, tags: Optional[Dict[str, str]] = None) -> str:
-        existing = self.experiment_by_name(name)
-        if existing is not None:
-            return existing
-        reg = self.experiments()
-        exp_id = str(len(reg))
-        reg[exp_id] = {"name": name, "tags": tags or {}, "created": time.time()}
-        _atomic_write_json(self._registry_path, reg)
-        os.makedirs(os.path.join(self.root, exp_id), exist_ok=True)
-        return exp_id
+        # The registry update is a read-modify-write; an exclusive lock
+        # makes concurrent `downgan train` processes against one
+        # tracking root mint distinct ids instead of both computing
+        # str(len(reg)) and clobbering each other's registration.
+        import fcntl
+
+        with open(os.path.join(self.root, ".registry.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            existing = self.experiment_by_name(name)
+            if existing is not None:
+                return existing
+            reg = self.experiments()
+            exp_id = str(len(reg))
+            while exp_id in reg or os.path.isdir(os.path.join(self.root, exp_id)):
+                exp_id = str(int(exp_id) + 1)
+            reg[exp_id] = {"name": name, "tags": tags or {},
+                           "created": time.time()}
+            _atomic_write_json(self._registry_path, reg)
+            os.makedirs(os.path.join(self.root, exp_id), exist_ok=True)
+            return exp_id
 
     def create_run(self, experiment_id: str, run_name: Optional[str] = None) -> Run:
         run_id = uuid.uuid4().hex[:16]

@@ -484,7 +484,15 @@ def test_train_multihost_requires_real_distributed_init(tmp_path, tiny_config_fi
          "--multihost", "--checkpoint-dir", str(tmp_path / "ckpt")],
     )
     assert result.exit_code != 0
-    assert "process_count is 1" in result.output
+    # Two legitimate loud-failure modes: auto-detection unavailable (the
+    # CLI's process_count guard) or jax.distributed's late-call error when
+    # a JAX backend is already initialized in this process (multihost.
+    # initialize re-raises it rather than silently degrading) — which one
+    # fires depends on whether earlier tests touched JAX.
+    out = result.output + repr(result.exception)
+    assert ("process_count is 1" in out
+            or "before any JAX" in out.replace("computations", "calls")
+            or "distributed.initialize" in out)
 
 
 def test_train_host_feed_cli(tmp_path, tiny_config_file):

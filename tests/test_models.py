@@ -133,3 +133,18 @@ def test_remat_generator_matches_and_backprops():
         grads[flag] = jax.tree.leaves(g)[0]
     np.testing.assert_allclose(np.asarray(outs[False]), np.asarray(outs[True]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(grads[False]), np.asarray(grads[True]), atol=1e-6)
+
+
+def test_config_num_upsample_validates_sizes():
+    """fine_size must be coarse_size times a power of two — floor division
+    used to let e.g. 192/128 pass as ratio 1 and silently build a
+    generator with the wrong output size."""
+    import pytest
+
+    from downgan_tpu.config.config import Config
+
+    assert Config(coarse_size=16, fine_size=128).num_upsample == 3
+    assert Config(coarse_size=16, fine_size=16).num_upsample == 0
+    for coarse, fine in ((128, 192), (16, 48), (16, 8)):
+        with pytest.raises(ValueError, match="power of two"):
+            _ = Config(coarse_size=coarse, fine_size=fine).num_upsample

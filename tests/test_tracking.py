@@ -326,3 +326,80 @@ def test_mlflow_export_cli_whole_store(store, tmp_path):
               "--run", "feedfeedfeedfeed", "--out", dest])
     assert bad.exit_code != 0
     assert "not found" in bad.output
+
+
+def test_server_exp_id_validated_and_escaped(store):
+    """/exp/<id> must only accept registered experiment ids (a raw path
+    component would os.path.join into the filesystem — /exp/.. listed the
+    store root's parent) and must HTML-escape the id it echoes."""
+    import urllib.error
+
+    from downgan_tpu.tracking.server import serve
+
+    eid = store.create_experiment("exp-page")
+    store.create_run(eid).start()
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        ok = urllib.request.urlopen(f"{base}/exp/{eid}")
+        assert ok.status == 200
+        for bad in ("..", "%2e%2e", "<img%20src=x%20onerror=alert(1)>"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(f"{base}/exp/{bad}")
+            assert exc.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_server_artifact_directory_request_is_404(store):
+    """Requesting a DIRECTORY under artifacts must 404 (IsADirectoryError
+    is an OSError, not FileNotFoundError — it used to kill the handler)."""
+    import urllib.error
+
+    from downgan_tpu.tracking.server import serve
+
+    import os
+
+    eid = store.create_experiment("dir404")
+    run = store.create_run(eid).start()
+    os.makedirs(os.path.join(run.artifact_dir, "checkpoints"), exist_ok=True)
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/artifact/{run.run_id}/checkpoints")
+        assert exc.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_create_experiment_concurrent_unique_ids(tmp_path):
+    """Concurrent create_experiment calls against one root mint distinct
+    ids and neither registration is lost (registry lock)."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "shared")
+
+    def worker(name, q):
+        from downgan_tpu.tracking.store import TrackingStore
+
+        q.put((name, TrackingStore(root).create_experiment(name)))
+
+    q = mp.Queue()
+    procs = [mp.Process(target=worker, args=(f"exp{i}", q)) for i in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+    got = dict(q.get() for _ in range(4))
+    assert len(set(got.values())) == 4  # distinct ids
+    from downgan_tpu.tracking.store import TrackingStore
+
+    reg = TrackingStore(root).experiments()
+    assert {info["name"] for info in reg.values()} == set(got)
