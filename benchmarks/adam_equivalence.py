@@ -112,21 +112,14 @@ def _field_metric_fns(fine_hw: int):
     f(real, fake) -> float, applied to BOTH sides' generated fields."""
     import jax.numpy as jnp
 
-    from downgan_tpu.ops.losses import content_loss, content_mse_loss
-    from downgan_tpu.ops.msssim import (
-        minmax_normalize_per_channel,
-        msssim_metric,
-        ssim,
-    )
-    from downgan_tpu.ops.spectral import ralsd
+    from downgan_tpu.ops.metrics import METRIC_REGISTRY
+    from downgan_tpu.ops.msssim import minmax_normalize_per_channel, ssim
 
-    fns = {
-        "MAE": content_loss,
-        "MSE": content_mse_loss,
-        "RALSD": lambda real, fake: ralsd(fake, real),
-    }
+    # The production registry IS the measuring stick (same arg order,
+    # incl. RALSD's swap); only the small-field SSIM fallback is local.
+    fns = {k: METRIC_REGISTRY[k] for k in ("MAE", "MSE", "RALSD")}
     if fine_hw >= 112:  # 5 MS-SSIM scales at win_size=7 need >= 7*2**4
-        fns["MSSSIM"] = msssim_metric
+        fns["MSSSIM"] = METRIC_REGISTRY["MSSSIM"]
     else:
         fns["SSIM"] = lambda real, fake: ssim(
             minmax_normalize_per_channel(real),
@@ -309,7 +302,16 @@ def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
     # reduction-order noise, not signal — gate on the learning budget.
     t_w = np.array([r["torch"]["Wass"] for r in records])
     j_w = np.array([r["jax"]["Wass"] for r in records])
-    wass_corr = float(np.corrcoef(t_w, j_w)[0, 1]) if t_w.std() > 0 else 1.0
+    # A degenerate (constant) trajectory on EITHER side makes corrcoef
+    # NaN; NaN < threshold is False, which would silently PASS the
+    # decorrelation check — treat it as corr 0 (fails on a learning
+    # budget, where a flatlined critic is itself a regression).
+    if t_w.std() > 0 and j_w.std() > 0:
+        wass_corr = float(np.corrcoef(t_w, j_w)[0, 1])
+    else:
+        wass_corr = 0.0
+    if not np.isfinite(wass_corr):
+        wass_corr = 0.0
     final = records[-1]
     final_rel = (abs(t_w[-1] - j_w[-1])
                  / max(abs(t_w[-1]), abs(j_w[-1]), WASS_ABS))
@@ -344,7 +346,11 @@ def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
                                "evidence": evidence,
                                "init": init[side], "final": final[side]})
 
-    max_diff = {k: max(r["diff"][k] for r in records[1:])
+    # records[1:] is empty when no eval point lands inside the run
+    # (steps < eval_every) — fall back to the init record rather than
+    # crash on max() of an empty sequence.
+    diff_records = records[1:] or records[:1]
+    max_diff = {k: max(r["diff"][k] for r in diff_records)
                 for k in records[0]["diff"]}
     return {
         "gate": "adam_equivalence",

@@ -5,12 +5,18 @@ This is the measured anchor behind BASELINE.md's derived A100 baseline
 reference networks read-only from /root/reference and executes the exact
 per-batch work of the reference hot loop:
 
-  * one critic update — G fwd, C fwd on real+fake, gradient penalty with
-    ``create_graph=True`` double backward, Adam step
-    (``DoWnGAN/GAN/wasserstein.py:27-55,87-117``)
-  * the scheduled generator update (every ``critic_iterations``-th step,
-    amortized here as 1/5 of a G update: G fwd, C fwd, L1, backward, Adam
-    step — ``wasserstein.py:58-83,136-137``)
+  * one critic update per step — G fwd, C fwd on real+fake, gradient
+    penalty with ``create_graph=True`` double backward, Adam step
+    (``DoWnGAN/GAN/wasserstein.py:27-55,87-117``). Reference quirks kept
+    exactly: the critic-update fake is NOT detached, so
+    ``critic_loss.backward`` also backprops through G (~2 extra G-fwd
+    equivalents of executed work per step, wasserstein.py:35-52); the GP
+    interpolation uses ``fine.data``/``fake.data`` (detached,
+    wasserstein.py:92), so the GP path does NOT reach G.
+  * the scheduled generator update on every ``critic_iterations``-th step
+    (``wasserstein.py:135-136``) — EXECUTED on that schedule: the timed
+    unit is a full 5-step cycle (1 G update) divided by 5, so the
+    measured time and the analytic census describe the same loop.
   * the per-batch metric pass — fresh detached G fwd, 2 C fwds, MAE/MSE/
     Wass (``mlflow_tools/mlflow_epoch.py:53-63``). MS-SSIM is skipped
     (pytorch_msssim is not installed here), which UNDERSTATES reference
@@ -78,21 +84,29 @@ def cpu_matmul_gflops(n: int = 1024, reps: int = 5) -> float:
     return 2 * n**3 / best / 1e9
 
 
-def reference_step(G, C, g_opt, c_opt, coarse, fine, gp_lambda=10.0,
-                   gamma=0.01, content_lambda=5.0):
-    """One full reference train step (semantics of wasserstein.py:27-117,
-    136-140 + mlflow_epoch.py:53-63), written fresh from the spec."""
+def reference_step(G, C, g_opt, c_opt, coarse, fine, step_index,
+                   gp_lambda=10.0, gamma=0.01, content_lambda=5.0,
+                   critic_iterations=5):
+    """One reference train step at ``step_index`` (semantics of
+    wasserstein.py:27-117, 131-146 + mlflow_epoch.py:53-63, written fresh
+    from the spec): critic update + metric pass every step, G update only
+    when ``step_index % critic_iterations == 0`` (incl. step 0)."""
     batch = fine.shape[0]
 
     # --- critic update (wasserstein.py:27-55) ---
     c_opt.zero_grad()
+    # Reference quirk kept: fake is NOT detached, so the critic backward
+    # below also backprops through G (wasted work the reference executes;
+    # G's grads are zeroed before its own update uses them).
     fake = G(coarse)
     c_real = C(fine)
     c_fake = C(fake)
     # gradient penalty (wasserstein.py:87-117): note the reference applies
-    # gp_lambda both inside _gp and at the call site -> lambda_eff = 100
+    # gp_lambda both inside _gp and at the call site -> lambda_eff = 100.
+    # The interpolation uses .data (detached) like the reference, so the
+    # GP double backward does NOT reach G.
     alpha = torch.rand(batch, 1, 1, 1)
-    interp = (alpha * fine + (1 - alpha) * fake).requires_grad_(True)
+    interp = (alpha * fine.data + (1 - alpha) * fake.data).requires_grad_(True)
     c_interp = C(interp)
     grads = torch.autograd.grad(
         outputs=c_interp, inputs=interp,
@@ -104,12 +118,14 @@ def reference_step(G, C, g_opt, c_opt, coarse, fine, gp_lambda=10.0,
     c_loss.backward(retain_graph=True)
     c_opt.step()
 
-    # --- generator update, amortized 1/5 (wasserstein.py:58-83,136) ---
-    g_opt.zero_grad()
-    fake = G(coarse)
-    g_loss = -C(fake).mean() * gamma + content_lambda * torch.nn.functional.l1_loss(fake, fine)
-    g_loss.backward()
-    g_opt.step()
+    # --- scheduled generator update (wasserstein.py:58-83,135-136) ---
+    g_loss = 0.0
+    if step_index % critic_iterations == 0:
+        g_opt.zero_grad()
+        fake = G(coarse)
+        g_loss = -C(fake).mean() * gamma + content_lambda * torch.nn.functional.l1_loss(fake, fine)
+        g_loss.backward()
+        g_opt.step()
 
     # --- per-batch metric pass (mlflow_epoch.py:53-63), detached ---
     with torch.no_grad():
@@ -120,6 +136,15 @@ def reference_step(G, C, g_opt, c_opt, coarse, fine, gp_lambda=10.0,
         mse = ((mfake - fine) ** 2).mean()
         wass = m_real - m_fake
     return float(c_loss), float(g_loss), float(mae), float(mse), float(wass)
+
+
+def reference_cycle(G, C, g_opt, c_opt, coarse, fine,
+                    critic_iterations=5) -> None:
+    """One full n_critic cycle (5 steps, exactly 1 scheduled G update) —
+    the timed unit; per-step cost = cycle time / critic_iterations."""
+    for i in range(critic_iterations):
+        reference_step(G, C, g_opt, c_opt, coarse, fine, i,
+                       critic_iterations=critic_iterations)
 
 
 def main() -> None:
@@ -143,40 +168,47 @@ def main() -> None:
 
     g_fwd_flops = count_fwd_flops(G, coarse)
     c_fwd_flops = count_fwd_flops(C, fine)
-    # Full-step analytic FLOPs (fwd:bwd = 1:2 for weight+input grads; the
-    # GP double backward adds ~2x a critic backward on top of its forward):
+    # Per-step analytic FLOPs of the EXECUTED loop (fwd:bwd = 1:2 for
+    # weight+input grads; the GP double backward adds ~2x a critic
+    # backward on top of its forward):
     #   critic update: G fwd + 2 C fwd + C fwd(interp) + GP double bwd
     #                  (~2x C bwd = 4x C fwd) + C bwd (2x C fwd)
-    #   G update (x1/5): G fwd + C fwd + G bwd (2x) + C bwd-through (2x)
+    #                  + G bwd (2x G fwd) — the reference does not detach
+    #                  the critic-update fake, so critic_loss.backward
+    #                  backprops through G every step (wasserstein.py:35-52)
+    #   G update (x1/5 — executed 1-in-5): G fwd + C fwd + G bwd (2x)
+    #                  + C bwd-through (2x)
     #   metric pass: G fwd + 2 C fwd
     step_flops = (
-        g_fwd_flops + 7 * c_fwd_flops + 2 * c_fwd_flops  # critic upd
+        3 * g_fwd_flops + 9 * c_fwd_flops                 # critic upd
         + (3 * g_fwd_flops + 3 * c_fwd_flops) / 5         # sched G upd
         + g_fwd_flops + 2 * c_fwd_flops                   # metric pass
     )
 
-    # Dispatched-op count for the step (batch-independent): every aten op
+    # Dispatched-op count per step (batch-independent): every aten op
     # in eager mode is >=1 CUDA kernel launch on a GPU, so this measures
     # the step's kernel-granularity floor for the A100 derivation.
+    # Counted over one full 5-step cycle / 5, matching the timed unit.
     n_ops = 0
     if os.environ.get("REF_COUNT_OPS", "0") == "1":
         from torch.profiler import ProfilerActivity, profile
 
         with profile(activities=[ProfilerActivity.CPU]) as prof:
-            reference_step(G, C, g_opt, c_opt, coarse, fine)
+            reference_cycle(G, C, g_opt, c_opt, coarse, fine)
         # top-level aten dispatches only (nested expansions like
         # convolution -> _convolution -> mkldnn_convolution collapse to
         # one GPU kernel launch each)
-        n_ops = sum(1 for e in prof.events()
-                    if e.name.startswith("aten::") and e.cpu_parent is None)
+        n_ops = round(sum(1 for e in prof.events()
+                          if e.name.startswith("aten::")
+                          and e.cpu_parent is None) / 5)
 
-    reference_step(G, C, g_opt, c_opt, coarse, fine)  # warm
+    reference_cycle(G, C, g_opt, c_opt, coarse, fine)  # warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        reference_step(G, C, g_opt, c_opt, coarse, fine)
+        reference_cycle(G, C, g_opt, c_opt, coarse, fine)
         times.append(time.perf_counter() - t0)
-    median = sorted(times)[len(times) // 2]
+    median = sorted(times)[len(times) // 2] / 5  # cycle -> per-step
 
     peak = cpu_matmul_gflops()
     achieved = step_flops / median / 1e9

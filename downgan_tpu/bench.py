@@ -143,8 +143,13 @@ def infer_main() -> None:
         achieved = fwd_flops * scan_steps / median / 1e12
         perf = {"flops_per_forward": round(fwd_flops),
                 "achieved_tflops": round(achieved, 2)}
-        if jax.devices()[0].platform == "tpu":
-            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+        # Same peak semantics as the train bench: BENCH_PEAK_TFLOPS is
+        # honored on ANY platform; without it, only TPU gets the v5e
+        # default.
+        peak_env = os.environ.get("BENCH_PEAK_TFLOPS")
+        peak = (float(peak_env) if peak_env
+                else 197.0 if jax.devices()[0].platform == "tpu" else None)
+        if peak:
             perf["peak_tflops"] = peak
             perf["mfu_vs_peak"] = round(achieved / peak, 4)
     print(json.dumps({
@@ -270,6 +275,19 @@ def main() -> None:
     # explicit next to the vs_baseline ratio.
     fused = config.hp.schedule == "fused"
     n_critic = config.hp.critic_iterations if fused else 1
+    if not fused and scan_steps % config.hp.critic_iterations:
+        # Align the scan to whole n_critic cycles: every timed rep then
+        # executes the same number of scheduled G updates, so the FLOP
+        # census (a mean over the timed window) describes the median rep
+        # exactly instead of up to ±1 G update off.
+        import sys
+
+        aligned = (-(-scan_steps // config.hp.critic_iterations)
+                   * config.hp.critic_iterations)
+        print(f"bench: scan_steps {scan_steps} -> {aligned} (aligned to "
+              f"critic_iterations={config.hp.critic_iterations})",
+              file=sys.stderr)
+        scan_steps = aligned
     if multihost:
         from downgan_tpu.parallel.multihost import global_mesh
 
