@@ -698,6 +698,17 @@ def export_mlflow(run_id, experiment, tracking_root, out) -> None:
             run = store.get_run(run_id)
         except KeyError as e:
             raise click.UsageError(str(e))
+        if experiment is not None:
+            # --experiment is a filter, not decoration: exporting a --run
+            # from a different experiment than the one named would
+            # silently violate "only runs of experiment X".
+            exp_id = store.experiment_by_name(experiment)
+            if exp_id is None or run.experiment_id != exp_id:
+                raise click.UsageError(
+                    f"run {run_id} does not belong to experiment "
+                    f"{experiment!r} (it is in experiment id "
+                    f"{run.experiment_id}); drop --experiment or pick a "
+                    "run from that experiment")
         written.append(export_run(run, out))
     else:
         experiments = store.experiments()

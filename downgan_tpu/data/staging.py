@@ -249,6 +249,23 @@ def load_covariates(
     return out
 
 
+def _check_same_grid(arrs: Dict[str, np.ndarray], what: str) -> None:
+    """The coordinate crop of a global land-sea mask is argmin-driven: an
+    off-by-one against the index-cropped covariates would otherwise only
+    surface as an opaque np.stack failure (or, if sizes coincidentally
+    matched, a silent grid misalignment). Fail with the offender named.
+    Checked at the stack site, not in load_covariates — the per-variable
+    crop arithmetic itself is reference parity (gen_experiment_datasets.py
+    crop_global_mask) and is pinned as such by tests."""
+    shapes = {k: v.shape[-2:] for k, v in arrs.items()}
+    if len(set(shapes.values())) > 1:
+        raise ValueError(
+            f"{what} spatial grids disagree after cropping: "
+            + ", ".join(f"{k}={s}" for k, s in shapes.items())
+            + " — check that the land-sea mask file's lat/lon coordinates "
+            "cover the configured region on the same coarse grid")
+
+
 def generate_train_test_coarse_fine(
     config: Config,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -267,6 +284,7 @@ def generate_train_test_coarse_fine(
     fine_std, _ = standardize_all(fine_vars, skip=())
     cov_std, _ = standardize_all(cov_vars)
 
+    _check_same_grid(cov_std, "covariate")
     fine = np.stack([fine_std[k] for k in FINE_NAMES_ORDERED], axis=1)
     coarse = np.stack([cov_std[k] for k in COVARIATE_NAMES_ORDERED], axis=1)
 

@@ -146,8 +146,17 @@ def restore_generator_params(
         return load_params(checkpoint_dir, template)
     from downgan_tpu.training.state import create_state
 
+    # Same abstract-template pattern as above: a concrete create_state
+    # would trace/compile/execute generator AND critic init plus optimizer
+    # construction per restore — pure waste when orbax only needs the tree
+    # structure, shapes and dtypes.
+    state_template = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=dev),
+        jax.eval_shape(lambda k: create_state(config, k),
+                       jax.random.PRNGKey(0)),
+    )
     mngr = CheckpointManager(checkpoint_dir)
-    state = mngr.restore(create_state(config, jax.random.PRNGKey(0)), step=step)
+    state = mngr.restore(state_template, step=step)
     mngr.close()
     if use_ema:
         if state.g_ema is None:

@@ -151,16 +151,22 @@ class SRModel:
         if not self._stochastic:
             return coarse
         outs = []
-        for block, pad in self._pad_blocks(coarse):
-            aug = np.asarray(self._inject_fn(jnp.asarray(block, jnp.float32)))
-            outs.append(aug[: self.batch - pad] if pad else aug)
+        # The injection is device work: hold the model lock (the "one
+        # compiled program, serialized TPU access" invariant) and count its
+        # dispatches like any other. Callers invoke _augment OUTSIDE their
+        # own lock scope, so this nested acquisition is safe.
+        with self._lock:
+            for block, pad in self._pad_blocks(coarse):
+                aug = np.asarray(self._inject_fn(jnp.asarray(block, jnp.float32)))
+                self.dispatch_count += 1
+                outs.append(aug[: self.batch - pad] if pad else aug)
         return np.concatenate(outs, axis=0)
 
     def generate(self, coarse: np.ndarray) -> np.ndarray:
         self._validate_patches(coarse)
+        t0 = time.perf_counter()  # latency includes latent injection
         coarse = self._augment(np.asarray(coarse, np.float32))
         outs = []
-        t0 = time.perf_counter()
         with self._lock:  # one compiled program, serialized TPU access
             for block, pad in self._pad_blocks(coarse):
                 fake = np.asarray(self._fwd(self._params, jnp.asarray(block, jnp.float32)))
@@ -288,10 +294,10 @@ class BatchingSRModel(SRModel):
         # Latents are drawn HERE, per request, before coalescing: the
         # union batch then carries them as input channels, so a sample's
         # fields never depend on what traffic it coalesced with.
+        t0 = time.perf_counter()  # latency includes latent injection
         coarse = self._augment(np.asarray(coarse, np.float32))
         slot: list = [None]
         done = threading.Event()
-        t0 = time.perf_counter()
         with self._cv:
             if self._stop:
                 raise RuntimeError("BatchingSRModel is closed")

@@ -138,16 +138,26 @@ class TrackingHandler(SimpleHTTPRequestHandler):
                 import shutil
 
                 with open(fpath, "rb") as f:
+                    size = os.fstat(f.fileno()).st_size
                     self.send_response(200)
                     self.send_header("Content-Type", self.guess_type(fpath))
-                    self.send_header(
-                        "Content-Length", str(os.fstat(f.fileno()).st_size))
+                    self.send_header("Content-Length", str(size))
                     self.end_headers()
-                    shutil.copyfileobj(f, self.wfile)
+                    # Past this point the 200 status line is on the wire: a
+                    # read error mid-stream (file rewritten concurrently, EIO)
+                    # must NOT fall into the 404 handler below — that would
+                    # inject an HTTP response into the declared body. Drop
+                    # the connection instead so the client sees truncation.
+                    try:
+                        shutil.copyfileobj(f, self.wfile)
+                    except OSError:
+                        self.close_connection = True
+                        return
             else:
                 self._send_html("<h1>404</h1>", 404)
         # OSError covers IsADirectoryError/PermissionError on the artifact
         # open — answer 404, don't kill the handler thread mid-connection.
+        # (Errors after headers are sent are handled in-branch above.)
         except (KeyError, OSError):
             try:
                 self._send_html("<h1>404</h1>", 404)

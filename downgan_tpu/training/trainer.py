@@ -302,6 +302,15 @@ class Trainer:
             )
         self._eval_fn = jax.jit(build_eval_metrics(config, self.gen, self.critic))
         self._eval_scan = jax.jit(build_eval_scan(config, self.gen, self.critic))
+        # Pair variants score live + EMA params in one program (used by
+        # best-tracking under hp.ema_decay; jit is lazy, so these cost
+        # nothing unless that path actually runs).
+        from downgan_tpu.training.wgan import build_eval_metrics_pair
+
+        self._eval_fn_pair = jax.jit(
+            build_eval_metrics_pair(config, self.gen, self.critic))
+        self._eval_scan_pair = jax.jit(
+            build_eval_scan(config, self.gen, self.critic, pair=True))
         # Plot/grid forward; stochastic generators use the same fixed
         # noise realization as the eval pass (wgan.eval_noise_rng).
         from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
@@ -521,36 +530,46 @@ class Trainer:
             (self._gather(self.train_ds, idx) for idx in perm_np), rng)
         return self._finish_epoch_means(n, means)
 
-    def _run_test_pass(self, state: Optional[GANTrainState] = None
-                       ) -> Dict[str, float]:
+    def _run_test_pass(self, state: Optional[GANTrainState] = None,
+                       pair: bool = False) -> Dict[str, float]:
         """Full test-set metric pass covering EVERY held-out sample
-        (:func:`full_split_metric_pass` — shared with the evaluate CLI)."""
+        (:func:`full_split_metric_pass` — shared with the evaluate CLI).
+
+        ``pair=True`` scores live AND EMA generator params in the same
+        compiled pass (``<name>__ema`` keys) — one set of batch gathers and
+        one dispatch instead of two full passes when best-tracking under
+        ``hp.ema_decay``."""
         assert self.test_ds is not None
         scan_ok = (self.config.hp.fused_epoch
                    and not isinstance(self.test_ds, HostDataset))
+        eval_fn = self._eval_fn_pair if pair else self._eval_fn
+        eval_scan = self._eval_scan_pair if pair else self._eval_scan
         return full_split_metric_pass(
             self.state if state is None else state,
             self.test_ds, self.config.hp.batch_size,
-            self._epoch_rng(), self._eval_fn,
-            eval_scan=self._eval_scan if scan_ok else None,
+            self._epoch_rng(), eval_fn,
+            eval_scan=eval_scan if scan_ok else None,
             gather=self._gather)
 
-    def _update_best(self, test_means: Dict[str, float]) -> None:
+    def _update_best(self, test_means: Dict[str, float],
+                     ema_means: Optional[Dict[str, float]] = None) -> None:
         """Best-checkpoint tracking: on improvement of the tracked test
         metric, write the serving weights as a bundle + best.json.
 
         The bundle holds the SERVING weights (EMA when ``hp.ema_decay`` is
         on), so the selection metric must be measured on those same
-        weights — with EMA on, a second test pass scores the EMA
-        generator (the logged test metrics stay the live-params parity
-        pass), and best.json's value refers to the weights it sits next
-        to. Early in training the EMA trails the live params, so selecting
-        on live metrics would routinely save an EMA bundle that was never
-        the best."""
+        weights — with EMA on, selection uses the EMA generator's metrics
+        (``ema_means`` when the caller already scored both param sets in
+        one pair pass, else a dedicated EMA test pass here; the logged
+        test metrics stay the live-params parity pass), and best.json's
+        value refers to the weights it sits next to. Early in training the
+        EMA trails the live params, so selecting on live metrics would
+        routinely save an EMA bundle that was never the best."""
         use_ema = self.state.g_ema is not None
         if use_ema:
-            test_means = self._run_test_pass(
-                self.state.replace(g_params=self.state.g_ema))
+            test_means = (ema_means if ema_means is not None
+                          else self._run_test_pass(
+                              self.state.replace(g_params=self.state.g_ema)))
             if (self.run is not None and self._primary
                     and self.track_best in test_means):
                 self.run.log_metrics(
@@ -730,10 +749,17 @@ class Trainer:
                     self._plot_split("train", self.train_ds)
 
                 if self.test_ds is not None and len(self.test_ds) > 0:
-                    test_means = self._run_test_pass()
+                    score_ema = bool(self.track_best) and self.state.g_ema is not None
+                    means = self._run_test_pass(pair=score_ema)
+                    test_means = {k: v for k, v in means.items()
+                                  if not k.endswith("__ema")}
                     self._log_epoch("test", test_means)
                     if self.track_best:
-                        self._update_best(test_means)
+                        ema_means = ({k[: -len("__ema")]: v
+                                      for k, v in means.items()
+                                      if k.endswith("__ema")}
+                                     if score_ema else None)
+                        self._update_best(test_means, ema_means=ema_means)
                     if self.epoch % self.plot_every == 0:
                         self._plot_split("test", self.test_ds)
 

@@ -597,14 +597,36 @@ def build_eval_metrics(
     return eval_metrics
 
 
-def build_eval_scan(
+def build_eval_metrics_pair(
     config: Config, gen: Generator, critic: Critic
+) -> Callable[[GANTrainState, jax.Array, jax.Array], Metrics]:
+    """Score the live AND the EMA generator on the same batch in ONE
+    program (Trainer best-tracking with ``hp.ema_decay`` on): shares the
+    batch gathers and the per-epoch dispatch that two separate full test
+    passes would otherwise pay. EMA values come back under ``<name>__ema``
+    keys; requires ``state.g_ema`` to be populated."""
+    eval_fn = build_eval_metrics(config, gen, critic)
+
+    def pair(state: GANTrainState, coarse: jax.Array, fine: jax.Array) -> Metrics:
+        out: Metrics = dict(eval_fn(state, coarse, fine))
+        ema_state = state.replace(g_params=state.g_ema)
+        for k, v in eval_fn(ema_state, coarse, fine).items():
+            out[k + "__ema"] = v
+        return out
+
+    return pair
+
+
+def build_eval_scan(
+    config: Config, gen: Generator, critic: Critic, pair: bool = False
 ) -> Callable[..., Metrics]:
     """Whole-test-set metric pass as one compiled program (the reference
     iterates batches on the host, ``wasserstein.py:157-169``): lax.scan of
     :func:`build_eval_metrics` over a (n_steps, batch) index matrix into
-    the device-resident test set, returning per-batch metric stacks."""
-    eval_fn = build_eval_metrics(config, gen, critic)
+    the device-resident test set, returning per-batch metric stacks.
+    ``pair=True`` scans :func:`build_eval_metrics_pair` instead."""
+    eval_fn = (build_eval_metrics_pair if pair else build_eval_metrics)(
+        config, gen, critic)
 
     def eval_scan(
         state: GANTrainState,

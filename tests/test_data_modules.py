@@ -431,6 +431,22 @@ def test_global_mask_coordinate_crop(tmp_path):
     np.testing.assert_array_equal(out["land_sea_mask"][3], got[0])
 
 
+def test_mismatched_covariate_grids_fail_with_named_offender():
+    """A coordinate-cropped mask whose grid disagrees with the index-cropped
+    covariates (as in test_global_mask_coordinate_crop's fixture) must fail
+    at the stack site with the offender NAMED, not as an opaque np.stack
+    'all input arrays must have the same shape' error."""
+    from downgan_tpu.data.staging import _check_same_grid
+
+    arrs = {
+        "surface_pressure": np.zeros((4, 16, 16), np.float32),
+        "land_sea_mask": np.zeros((4, 16, 17), np.float32),
+    }
+    with pytest.raises(ValueError, match=r"land_sea_mask=\(16, 17\)"):
+        _check_same_grid(arrs, "covariate")
+    _check_same_grid({k: np.zeros((4, 16, 16)) for k in arrs}, "covariate")
+
+
 def test_multifile_glob_ordered_by_time_not_name(tmp_path):
     """open_mfdataset(combine='by_coords') orders chunks by time; lexical
     filename order would scramble unpadded names (wrf_2 after wrf_10)."""

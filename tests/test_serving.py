@@ -433,7 +433,11 @@ def test_stochastic_coalescing_is_traffic_independent():
         # the fields must STILL be the standalone ones, bit for bit.
         for got, want in zip(results, expected):
             np.testing.assert_array_equal(got, want)
-        assert model.dispatch_count < len(inputs)
+        # Each request pays one per-request latent-injection dispatch (by
+        # design — counted in /metrics); the FORWARD dispatches are what
+        # coalescing collapses below one-per-request.
+        forward_dispatches = model.dispatch_count - len(inputs)
+        assert 1 <= forward_dispatches < len(inputs), model.dispatch_count
     finally:
         model.close()
 
