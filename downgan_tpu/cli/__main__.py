@@ -208,6 +208,12 @@ def cli() -> None:
 @click.option("--tensorboard", is_flag=True,
               help="Also log metrics/figures to TensorBoard under the run's "
               "artifact dir (tracking/tensorboard.py).")
+@click.option("--mlflow-dir", type=click.Path(), default=None,
+              help="Also mirror the run LIVE into an MLflow FileStore at "
+              "this root (conventionally mlruns/): point `mlflow ui "
+              "--backend-store-uri` at it while training, exactly the "
+              "reference's watch-it-live workflow (mlflow_epoch.py). "
+              "export-mlflow of the finished run is then a no-op.")
 @click.option("--track-best", default=None, metavar="METRIC",
               help="Model selection: after each epoch's test pass, if this "
               "test metric (e.g. MSSSIM, MAE) improved, write the serving "
@@ -230,7 +236,7 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
           mesh, multihost,
           coordinator, num_processes, process_id, host_feed, stream,
           save_every, max_checkpoints, keep_every, print_every, plot_every,
-          eof_lambda, tensorboard, track_best, best_mode,
+          eof_lambda, tensorboard, mlflow_dir, track_best, best_mode,
           critic_conditional) -> None:
     """Train the WGAN-GP super-resolution model."""
     import dataclasses
@@ -383,6 +389,15 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         write_tags(run, interactive=interactive)
         with open(run.artifact_path("config.json"), "w") as f:
             f.write(config.to_json())
+        if mlflow_dir is not None:
+            # Attach AFTER params/tags/config.json so the seeding export
+            # carries them; every epoch's metrics then mirror live.
+            from downgan_tpu.tracking.mlflow_export import MlflowLiveRun
+
+            run.attach_sink(MlflowLiveRun(run, mlflow_dir))
+            click.echo(f"mirroring live to MLflow FileStore {mlflow_dir} "
+                       f"(view: mlflow ui --backend-store-uri "
+                       f"{os.path.abspath(mlflow_dir)})")
 
     ckpt_dir = checkpoint_dir or os.path.join(run.artifact_dir, "checkpoints")
     if max_checkpoints is None:

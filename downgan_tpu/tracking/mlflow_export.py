@@ -162,3 +162,46 @@ def export_experiment(store: TrackingStore, experiment_id: str,
                       dest_root: str) -> list:
     """Export every run of an experiment; returns the run dirs written."""
     return [export_run(r, dest_root) for r in store.runs(experiment_id)]
+
+
+class MlflowLiveRun:
+    """Live MLflow FileStore mirror of a tracked run.
+
+    The reference logs to MLflow DURING training — each epoch lands in the
+    FileStore the moment it finishes (``mlflow_tools/mlflow_epoch.py:40-50``)
+    so an ``mlflow ui`` follows the run live. ``export-mlflow`` only covers
+    the post-hoc path; attaching this sink to a tracked run
+    (``Run.attach_sink``) mirrors every ``log_metrics`` call into
+    ``dest_root`` as it happens, giving a migrating reference user the same
+    watch-it-live workflow (``downgan train --mlflow-dir mlruns``).
+
+    Layout-identical to :func:`export_run` (same widened run id, same
+    experiment id): construction seeds the run dir via ``export_run`` (meta
+    with RUNNING status, params, tags, artifacts so far), ``log_metrics``
+    appends MLflow's ``"<ts_ms> <value> <step>"`` lines, and ``end`` is a
+    final ``export_run`` — meta picks up the store's final status/end_time,
+    late artifacts (plots, checkpoints) are copied, and metric files are
+    rewritten from the canonical store history. A later ``downgan
+    export-mlflow`` of the same run is therefore an idempotent no-op.
+    """
+
+    def __init__(self, run: Run, dest_root: str):
+        self._run = run
+        self.dest_root = dest_root
+        self.run_dir = export_run(run, dest_root)
+        self._metrics_dir = os.path.join(self.run_dir, "metrics")
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        import time
+
+        os.makedirs(self._metrics_dir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        for key, value in metrics.items():
+            with open(os.path.join(self._metrics_dir, _fname(key)), "a") as f:
+                f.write(f"{now_ms} {float(value)} {int(step)}\n")
+
+    def end(self, status: str = "FINISHED") -> None:
+        # Re-export AFTER the store wrote its final meta (Run.end forwards
+        # to sinks last), so the FileStore meta.yaml carries the real
+        # status + end_time and the artifact tree is complete.
+        export_run(self._run, self.dest_root)

@@ -56,6 +56,16 @@ class Run:
         self.run_dir = os.path.join(store.root, experiment_id, run_id)
         self.artifact_dir = os.path.join(self.run_dir, "artifacts")
         self._metrics_dir = os.path.join(self.run_dir, "metrics")
+        # Optional live mirrors (e.g. mlflow_export.MlflowLiveRun): every
+        # log_metrics/end call is forwarded AFTER the local write, so the
+        # store stays the source of truth.
+        self._sinks: List[Any] = []
+
+    def attach_sink(self, sink: Any) -> "Run":
+        """Attach a live mirror implementing ``log_metrics(dict, step)``
+        and ``end(status)`` (duck-typed; see mlflow_export.MlflowLiveRun)."""
+        self._sinks.append(sink)
+        return self
 
     def _ensure_dirs(self) -> None:
         # Deliberately NOT in __init__: constructing a Run (e.g. from a GET
@@ -77,6 +87,10 @@ class Run:
         meta["end_time"] = time.time()
         meta["status"] = status
         _atomic_write_json(os.path.join(self.run_dir, "meta.json"), meta)
+        # After the local write: sinks that re-export (MlflowLiveRun.end)
+        # see the final status/end_time.
+        for sink in self._sinks:
+            sink.end(status)
 
     def __enter__(self) -> "Run":
         return self.start()
@@ -110,7 +124,7 @@ class Run:
         _atomic_write_json(os.path.join(self.run_dir, "meta.json"), meta)
 
     # -- metrics -------------------------------------------------------
-    def log_metric(self, key: str, value: float, step: int) -> None:
+    def _write_metric(self, key: str, value: float, step: int) -> None:
         os.makedirs(self._metrics_dir, exist_ok=True)
         path = os.path.join(self._metrics_dir, f"{_safe(key)}.csv")
         new = not os.path.exists(path)
@@ -120,9 +134,16 @@ class Run:
                 w.writerow(["step", "value", "wall_time"])
             w.writerow([step, float(value), time.time()])
 
+    def log_metric(self, key: str, value: float, step: int) -> None:
+        self._write_metric(key, value, step)
+        for sink in self._sinks:
+            sink.log_metrics({key: value}, step)
+
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         for k, v in metrics.items():
-            self.log_metric(k, v, step)
+            self._write_metric(k, v, step)
+        for sink in self._sinks:
+            sink.log_metrics(metrics, step)
 
     def metric_history(self, key: str) -> List[Dict[str, float]]:
         path = os.path.join(self._metrics_dir, f"{_safe(key)}.csv")

@@ -59,11 +59,13 @@ def test_show_config_roundtrip(tiny_config_file):
 
 def test_train_and_generate_synthetic(tmp_path, tiny_config_file):
     tracking_root = str(tmp_path / "exps")
+    mlruns = str(tmp_path / "mlruns")
     runner = CliRunner()
     result = runner.invoke(
         cli,
         ["train", "--config", tiny_config_file, "--synthetic", "--samples", "32",
-         "--tracking-root", tracking_root, "--experiment", "cli-test"],
+         "--tracking-root", tracking_root, "--experiment", "cli-test",
+         "--mlflow-dir", mlruns],
         catch_exceptions=False,
     )
     assert result.exit_code == 0, result.output
@@ -78,6 +80,21 @@ def test_train_and_generate_synthetic(tmp_path, tiny_config_file):
     assert os.path.exists(os.path.join(art, "train_images.png"))
     ckpt_dir = os.path.join(art, "checkpoints")
     assert os.path.isdir(ckpt_dir)
+
+    # --mlflow-dir mirrored the run live into an MLflow FileStore: run dir
+    # with 32-hex id, per-epoch metric lines, FINISHED status after end.
+    import yaml
+
+    ml_run_dirs = [d for d in glob.glob(os.path.join(mlruns, "*", "*"))
+                   if os.path.isdir(d) and len(os.path.basename(d)) == 32]
+    assert len(ml_run_dirs) == 1, os.listdir(mlruns)
+    with open(os.path.join(ml_run_dirs[0], "meta.yaml")) as f:
+        assert yaml.safe_load(f)["status"] == 3  # FINISHED
+    with open(os.path.join(ml_run_dirs[0], "metrics", "MAE_train")) as f:
+        rows = [line.split() for line in f.read().splitlines()]
+    # one line per epoch, steps consecutive from 0
+    assert rows and [int(r[2]) for r in rows] == list(range(len(rows)))
+    assert os.path.exists(os.path.join(ml_run_dirs[0], "params", "lr"))
 
     out_nc = str(tmp_path / "gen.nc")
     result = runner.invoke(

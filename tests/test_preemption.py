@@ -153,8 +153,8 @@ def test_sigterm_during_test_pass_stops_this_epoch(tmp_path):
     real_test_pass = trainer._run_test_pass
     fired = {"epoch": None}
 
-    def preempt_during_test_pass():
-        out = real_test_pass()
+    def preempt_during_test_pass(*args, **kwargs):
+        out = real_test_pass(*args, **kwargs)
         if trainer.epoch == 1 and fired["epoch"] is None:
             fired["epoch"] = trainer.epoch
             trainer.preempted = True  # what the SIGTERM handler does

@@ -295,6 +295,59 @@ def test_mlflow_export_filestore_layout(store, tmp_path):
     assert os.path.exists(os.path.join(run_dir, "artifacts", "grid.png"))
 
 
+def test_mlflow_live_sink_mirrors_metrics(store, tmp_path):
+    """MlflowLiveRun attached via Run.attach_sink mirrors every
+    log_metrics call into the FileStore AS IT HAPPENS (the reference's
+    in-training mlflow logging, mlflow_epoch.py:40-50): status is RUNNING
+    while live, metric lines land per call, and end() converges the tree
+    to exactly what a post-hoc export_run would write."""
+    import os
+
+    import yaml
+
+    from downgan_tpu.tracking.mlflow_export import MlflowLiveRun, export_run
+
+    eid = store.create_experiment("live-sr")
+    run = store.create_run(eid, run_name="live").start()
+    run.log_params({"lr": 1e-4})
+    dest = str(tmp_path / "mlruns_live")
+    sink = MlflowLiveRun(run, dest)
+    run.attach_sink(sink)
+
+    # Seeding export: params present, status RUNNING, no end_time yet.
+    with open(os.path.join(sink.run_dir, "meta.yaml")) as f:
+        meta = yaml.safe_load(f)
+    assert meta["status"] == 1 and meta["end_time"] is None
+    with open(os.path.join(sink.run_dir, "params", "lr")) as f:
+        assert float(f.read()) == 1e-4
+
+    metric_file = os.path.join(sink.run_dir, "metrics", "MAE_train")
+    for step in range(3):
+        run.log_metrics({"MAE_train": 1.0 / (step + 1)}, step)
+        with open(metric_file) as f:
+            rows = [line.split() for line in f.read().splitlines()]
+        assert [int(r[2]) for r in rows] == list(range(step + 1))  # live!
+        assert all(int(r[0]) > 10**12 for r in rows)  # ms timestamps
+    run.log_metric("Wass_test", -0.25, 0)  # singular path forwards too
+    assert os.path.exists(os.path.join(sink.run_dir, "metrics", "Wass_test"))
+
+    run.end("FINISHED")
+    with open(os.path.join(sink.run_dir, "meta.yaml")) as f:
+        meta = yaml.safe_load(f)
+    assert meta["status"] == 3 and meta["end_time"] >= meta["start_time"]
+
+    # Convergence: a fresh post-hoc export elsewhere has identical
+    # (value, step) metric content — export-mlflow after a live run is a
+    # no-op, not a second divergent copy.
+    other = export_run(run, str(tmp_path / "mlruns_posthoc"))
+    for name in ("MAE_train", "Wass_test"):
+        def vs(root):
+            with open(os.path.join(root, "metrics", name)) as f:
+                return [(r.split()[1], r.split()[2])
+                        for r in f.read().splitlines()]
+        assert vs(sink.run_dir) == vs(other)
+
+
 def test_mlflow_export_cli_whole_store(store, tmp_path):
     """`downgan export-mlflow` without --run exports every run; a second
     run in the same experiment lands under the same exp_id with its own
