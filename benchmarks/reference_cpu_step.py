@@ -153,6 +153,9 @@ def main() -> None:
 
     batch = int(os.environ.get("REF_BATCH", "16"))
     reps = int(os.environ.get("REF_REPS", "3"))
+    # The reference's n-critic schedule (stage.py hyperparams); every
+    # cycle->per-step conversion below derives from this one constant.
+    critic_iterations = int(os.environ.get("REF_CRITIC_ITERATIONS", "5"))
     if os.environ.get("REF_ANOMALY", "0") == "1":
         torch.autograd.set_detect_anomaly(True)  # as shipped: wasserstein.py:13
 
@@ -176,39 +179,42 @@ def main() -> None:
     #                  + G bwd (2x G fwd) — the reference does not detach
     #                  the critic-update fake, so critic_loss.backward
     #                  backprops through G every step (wasserstein.py:35-52)
-    #   G update (x1/5 — executed 1-in-5): G fwd + C fwd + G bwd (2x)
+    #   G update (executed 1-in-critic_iterations): G fwd + C fwd + G bwd (2x)
     #                  + C bwd-through (2x)
     #   metric pass: G fwd + 2 C fwd
     step_flops = (
         3 * g_fwd_flops + 9 * c_fwd_flops                 # critic upd
-        + (3 * g_fwd_flops + 3 * c_fwd_flops) / 5         # sched G upd
+        + (3 * g_fwd_flops + 3 * c_fwd_flops) / critic_iterations  # sched G upd
         + g_fwd_flops + 2 * c_fwd_flops                   # metric pass
     )
 
     # Dispatched-op count per step (batch-independent): every aten op
     # in eager mode is >=1 CUDA kernel launch on a GPU, so this measures
     # the step's kernel-granularity floor for the A100 derivation.
-    # Counted over one full 5-step cycle / 5, matching the timed unit.
+    # Counted over one full critic_iterations-step cycle, matching the timed unit.
     n_ops = 0
     if os.environ.get("REF_COUNT_OPS", "0") == "1":
         from torch.profiler import ProfilerActivity, profile
 
         with profile(activities=[ProfilerActivity.CPU]) as prof:
-            reference_cycle(G, C, g_opt, c_opt, coarse, fine)
+            reference_cycle(G, C, g_opt, c_opt, coarse, fine,
+                            critic_iterations=critic_iterations)
         # top-level aten dispatches only (nested expansions like
         # convolution -> _convolution -> mkldnn_convolution collapse to
         # one GPU kernel launch each)
         n_ops = round(sum(1 for e in prof.events()
                           if e.name.startswith("aten::")
-                          and e.cpu_parent is None) / 5)
+                          and e.cpu_parent is None) / critic_iterations)
 
-    reference_cycle(G, C, g_opt, c_opt, coarse, fine)  # warm
+    reference_cycle(G, C, g_opt, c_opt, coarse, fine,
+                    critic_iterations=critic_iterations)  # warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        reference_cycle(G, C, g_opt, c_opt, coarse, fine)
+        reference_cycle(G, C, g_opt, c_opt, coarse, fine,
+                        critic_iterations=critic_iterations)
         times.append(time.perf_counter() - t0)
-    median = sorted(times)[len(times) // 2] / 5  # cycle -> per-step
+    median = sorted(times)[len(times) // 2] / critic_iterations  # cycle -> per-step
 
     peak = cpu_matmul_gflops()
     achieved = step_flops / median / 1e9

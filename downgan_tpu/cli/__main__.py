@@ -692,7 +692,13 @@ def export_bundle(config_path, checkpoint, run_id, tracking_root, epoch,
 @click.option("--out", "-o", default="mlruns", type=click.Path(),
               help="MLflow FileStore root to write (point `mlflow ui "
               "--backend-store-uri` at this directory).")
-def export_mlflow(run_id, experiment, tracking_root, out) -> None:
+@click.option("--checkpoints/--no-checkpoints", "include_checkpoints",
+              default=False, show_default=True,
+              help="Also copy the run's Orbax checkpoints/ subtree into "
+              "the FileStore artifacts (multi-GB for retained full train "
+              "states; weight migration is export-torch's job).")
+def export_mlflow(run_id, experiment, tracking_root, out,
+                  include_checkpoints) -> None:
     """Export tracked runs as an MLflow FileStore tree.
 
     The reference's run history lives in an MLflow FileStore
@@ -724,7 +730,7 @@ def export_mlflow(run_id, experiment, tracking_root, out) -> None:
                     f"{experiment!r} (it is in experiment id "
                     f"{run.experiment_id}); drop --experiment or pick a "
                     "run from that experiment")
-        written.append(export_run(run, out))
+        written.append(export_run(run, out, include_checkpoints=include_checkpoints))
     else:
         experiments = store.experiments()
         if experiment is not None:
@@ -737,7 +743,9 @@ def export_mlflow(run_id, experiment, tracking_root, out) -> None:
         else:
             exp_ids = list(experiments)
         for exp_id in exp_ids:
-            written.extend(export_experiment(store, exp_id, out))
+            written.extend(export_experiment(
+                store, exp_id, out,
+                include_checkpoints=include_checkpoints))
     if not written:
         raise click.UsageError(f"no runs to export under {tracking_root}")
     click.echo(f"exported {len(written)} run(s) to MLflow FileStore {out}")

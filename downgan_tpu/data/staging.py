@@ -214,7 +214,10 @@ def load_covariates(
     (``sortby("lat", ascending=True)``, ``:133``), and the land-sea mask —
     a GLOBAL file upstream — is coordinate-cropped against the fine grid
     (``crop_global_mask``, ``:138``) whenever both sides carry lat/lon
-    coordinates (regional coordinate-less fixtures keep the index crop).
+    coordinates AND the mask longitudes are genuinely 0-360 (the only grid
+    the reference's ``-360 + lon`` arithmetic is valid for); regional
+    masks — coordinate-less or on ordinary -180..180 longitudes — keep
+    the index crop.
     Invariant fields are cropped BEFORE the time broadcast (extending a
     global mask over ~19k steps first would materialize hundreds of GB).
     """
@@ -238,7 +241,13 @@ def load_covariates(
         if (std_name == "land_sea_mask"
                 and lat is not None and lon is not None
                 and fine_lat is not None and fine_lon is not None
-                and lat.size == arr.shape[-2] and lon.size == arr.shape[-1]):
+                and lat.size == arr.shape[-2] and lon.size == arr.shape[-1]
+                # The reference's crop arithmetic (-360 + mask_lon) is only
+                # meaningful for the GLOBAL 0-360 ERA mask it assumes; a
+                # regional mask that happens to carry -180..180 coordinates
+                # must keep the index crop or every argmin collapses to the
+                # last column.
+                and float(np.max(lon)) > 180.0):
             arr = _crop_global_mask(arr, lat, lon,
                                     np.asarray(fine_lat), np.asarray(fine_lon))
         else:
@@ -254,9 +263,12 @@ def _check_same_grid(arrs: Dict[str, np.ndarray], what: str) -> None:
     off-by-one against the index-cropped covariates would otherwise only
     surface as an opaque np.stack failure (or, if sizes coincidentally
     matched, a silent grid misalignment). Fail with the offender named.
-    Checked at the stack site, not in load_covariates — the per-variable
-    crop arithmetic itself is reference parity (gen_experiment_datasets.py
-    crop_global_mask) and is pinned as such by tests."""
+    Checked at EVERY stack site of ``load_covariates`` output (staging's
+    ``generate_train_test_coarse_fine`` and inference's
+    ``rebuild_coarse_covariates``), not inside ``load_covariates`` — the
+    per-variable crop arithmetic itself is reference parity
+    (gen_experiment_datasets.py crop_global_mask) and is pinned as such
+    by tests that inspect mismatching fixtures un-stacked."""
     shapes = {k: v.shape[-2:] for k, v in arrs.items()}
     if len(set(shapes.values())) > 1:
         raise ValueError(

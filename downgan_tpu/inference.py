@@ -77,7 +77,8 @@ def rebuild_coarse_covariates(
     """
     from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
     from downgan_tpu.data.pipeline import standardize_all, to_nhwc
-    from downgan_tpu.data.staging import load_covariates, load_fine
+    from downgan_tpu.data.staging import (_check_same_grid, load_covariates,
+                                          load_fine)
     from downgan_tpu.data.times import filter_times
 
     if subset not in ("train", "test"):
@@ -96,6 +97,7 @@ def rebuild_coarse_covariates(
     sel[0] = False
     selected = {k: v[:n_times][sel] for k, v in cov.items()}
     standardized, _ = standardize_all(selected)
+    _check_same_grid(standardized, "covariate")
     coarse = np.stack(
         [standardized[k] for k in COVARIATE_NAMES_ORDERED], axis=1
     )

@@ -84,11 +84,20 @@ def widen_run_id(run_id: str) -> str:
 
 def export_run(run: Run, dest_root: str,
                experiment_name: Optional[str] = None,
-               mlflow_experiment_id: Optional[str] = None) -> str:
+               mlflow_experiment_id: Optional[str] = None,
+               include_checkpoints: bool = False) -> str:
     """Write one tracked run as an MLflow FileStore run. Returns the run dir.
 
     ``dest_root`` is the FileStore root (the directory an MLflow UI is
     pointed at, conventionally ``mlruns/``).
+
+    Artifacts are copied verbatim EXCEPT the run's ``checkpoints/``
+    subtree unless ``include_checkpoints=True``: the default trainer
+    layout puts every retained full-train-state Orbax checkpoint (params
+    + critic + two Adam moment trees, times ``max_checkpoints``) under
+    the artifact dir, and silently duplicating that multi-GB tree into
+    ``mlruns/`` serves no MLflow-UI purpose — weight migration is
+    ``export-torch``'s job.
     """
     store = run.store
     exp_info = store.experiments().get(run.experiment_id, {})
@@ -152,16 +161,26 @@ def export_run(run: Run, dest_root: str,
                         f"{row['step']}\n")
 
     if os.path.isdir(run.artifact_dir):
-        shutil.copytree(run.artifact_dir, art_dir, dirs_exist_ok=True)
+        def _skip_ckpts(dirpath, names):
+            if not include_checkpoints and os.path.samefile(
+                    dirpath, run.artifact_dir):
+                return {"checkpoints"} & set(names)
+            return set()
+
+        shutil.copytree(run.artifact_dir, art_dir, dirs_exist_ok=True,
+                        ignore=_skip_ckpts)
     else:
         os.makedirs(art_dir, exist_ok=True)
     return run_dir
 
 
 def export_experiment(store: TrackingStore, experiment_id: str,
-                      dest_root: str) -> list:
+                      dest_root: str,
+                      include_checkpoints: bool = False) -> list:
     """Export every run of an experiment; returns the run dirs written."""
-    return [export_run(r, dest_root) for r in store.runs(experiment_id)]
+    return [export_run(r, dest_root,
+                       include_checkpoints=include_checkpoints)
+            for r in store.runs(experiment_id)]
 
 
 class MlflowLiveRun:
@@ -180,9 +199,10 @@ class MlflowLiveRun:
     with RUNNING status, params, tags, artifacts so far), ``log_metrics``
     appends MLflow's ``"<ts_ms> <value> <step>"`` lines, and ``end`` is a
     final ``export_run`` — meta picks up the store's final status/end_time,
-    late artifacts (plots, checkpoints) are copied, and metric files are
-    rewritten from the canonical store history. A later ``downgan
-    export-mlflow`` of the same run is therefore an idempotent no-op.
+    late artifacts (plots, CSVs — NOT the Orbax ``checkpoints/`` tree,
+    see :func:`export_run`) are copied, and metric files are rewritten
+    from the canonical store history. A later ``downgan export-mlflow``
+    of the same run is therefore an idempotent no-op.
     """
 
     def __init__(self, run: Run, dest_root: str):

@@ -135,8 +135,6 @@ class TrackingHandler(SimpleHTTPRequestHandler):
                     raise KeyError("path escape")
                 # Stream, don't slurp: artifact dirs hold multi-GB orbax
                 # checkpoint files; f.read() of one could OOM the server.
-                import shutil
-
                 with open(fpath, "rb") as f:
                     size = os.fstat(f.fileno()).st_size
                     self.send_response(200)
@@ -148,8 +146,21 @@ class TrackingHandler(SimpleHTTPRequestHandler):
                     # must NOT fall into the 404 handler below — that would
                     # inject an HTTP response into the declared body. Drop
                     # the connection instead so the client sees truncation.
+                    # Copy AT MOST the declared size: training appends to
+                    # live artifacts (CSVs, logs), and surplus bytes past
+                    # Content-Length would be parsed by a keep-alive client
+                    # as the start of the next response.
                     try:
-                        shutil.copyfileobj(f, self.wfile)
+                        left = size
+                        while left > 0:
+                            chunk = f.read(min(left, 1 << 20))
+                            if not chunk:
+                                # File shrank mid-stream (rewritten): the
+                                # declared length can't be honored — drop.
+                                self.close_connection = True
+                                return
+                            self.wfile.write(chunk)
+                            left -= len(chunk)
                     except OSError:
                         self.close_connection = True
                         return

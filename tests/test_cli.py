@@ -226,6 +226,27 @@ def test_rebuild_coarse_covariates_semantics(tmp_path):
     assert train_coarse.shape == (4, 16, 16, 7)  # 2001 rows, none dropped
 
 
+def test_rebuild_coarse_covariates_names_grid_offender(tmp_path, monkeypatch):
+    """The raw rebuild stacks load_covariates output just like staging
+    does; a covariate on a mismatching grid (e.g. a miscropped mask) must
+    fail with the offender NAMED, not as an opaque np.stack error."""
+    import downgan_tpu.data.staging as staging
+    from downgan_tpu.inference import rebuild_coarse_covariates
+
+    config = _raw_data_config(tmp_path)
+    real_load = staging.load_covariates
+
+    def widened_mask(*a, **kw):
+        out = dict(real_load(*a, **kw))
+        m = out["land_sea_mask"]
+        out["land_sea_mask"] = np.concatenate([m, m[..., :1]], axis=-1)
+        return out
+
+    monkeypatch.setattr(staging, "load_covariates", widened_mask)
+    with pytest.raises(ValueError, match=r"land_sea_mask=\(16, 17\)"):
+        rebuild_coarse_covariates(config, subset="test")
+
+
 def test_generate_raw_covariates_cli(tmp_path):
     """`generate --raw-covariates` composes the raw rebuild with generation
     in one command (the reference's single-command inference flow)."""

@@ -431,6 +431,44 @@ def test_global_mask_coordinate_crop(tmp_path):
     np.testing.assert_array_equal(out["land_sea_mask"][3], got[0])
 
 
+def test_regional_mask_with_coordinates_keeps_index_crop(tmp_path):
+    """A REGIONAL land-sea mask that happens to carry ordinary -180..180
+    lat/lon coordinates must keep the index crop: the reference's
+    coordinate arithmetic (-360 + mask_lon) only makes sense for the
+    global 0-360 ERA mask, and applying it to -180..180 longitudes makes
+    every argmin collapse to the last column (a (rows, 1) miscrop)."""
+    from downgan_tpu.data.netcdf import write_netcdf
+    from downgan_tpu.data.pipeline import crop_array
+    from downgan_tpu.data.staging import load_covariates
+    from downgan_tpu.config.config import COVARIATE_NAMES_ORDERED
+
+    rng = np.random.default_rng(5)
+    n_t = 3
+    names = {k: k for k in COVARIATE_NAMES_ORDERED}
+    cov = _write_cov_fixtures(tmp_path, rng, n_t, names, prefix="rm")
+    # Regional florida-box mask WITH coordinates, longitudes < 180.
+    mask = (rng.random((20, 86)) > 0.5).astype(np.float32)
+    mask_lat = 22.0 + 0.1 * np.arange(20)
+    mask_lon = -139.0 + 0.8 * np.arange(86)
+    p = str(tmp_path / "rm_land_sea_mask.nc")
+    write_netcdf(p, variables={"lsm": mask}, dims={"lsm": ("lat", "lon")},
+                 coords={"lat": mask_lat, "lon": mask_lon})
+    cov["land_sea_mask"] = p
+    cfg = Config(region="florida", covariate_paths=cov,
+                 already_preprocessed=False)
+    # fine coords present too — the pre-fix condition would have engaged
+    # the global coordinate crop purely on their availability.
+    fine_lat = 22.0 + 0.0125 * np.arange(160)
+    fine_lon = -139.0 + 0.1 * np.arange(160)
+    out = load_covariates(cfg, n_t, fine_coords=(fine_lat, fine_lon))
+    expect = crop_array(mask[None], cfg, 1)
+    assert out["land_sea_mask"].shape == (n_t,) + expect.shape[1:]
+    np.testing.assert_array_equal(out["land_sea_mask"][0], expect[0])
+    # Same grid as the index-cropped covariates: the stack sites accept it.
+    assert (out["land_sea_mask"].shape[-2:]
+            == out["surface_pressure"].shape[-2:])
+
+
 def test_mismatched_covariate_grids_fail_with_named_offender():
     """A coordinate-cropped mask whose grid disagrees with the index-cropped
     covariates (as in test_global_mask_coordinate_crop's fixture) must fail

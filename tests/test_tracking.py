@@ -295,6 +295,96 @@ def test_mlflow_export_filestore_layout(store, tmp_path):
     assert os.path.exists(os.path.join(run_dir, "artifacts", "grid.png"))
 
 
+def test_mlflow_export_skips_orbax_checkpoints(store, tmp_path):
+    """The default trainer layout puts every retained full-train-state
+    Orbax checkpoint under the run's artifact dir; export_run (and hence
+    the live mirror's end()) must NOT duplicate that multi-GB tree into
+    mlruns/ unless explicitly asked (--checkpoints)."""
+    import os
+
+    from downgan_tpu.tracking.mlflow_export import export_run
+
+    run = _populated_run(store, tmp_path)
+    ckpt = os.path.join(run.artifact_dir, "checkpoints", "42")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "state.orbax"), "wb") as f:
+        f.write(b"\x00" * 64)
+    # A NESTED dir named "checkpoints" is ordinary artifact content.
+    nested = os.path.join(run.artifact_dir, "plots", "checkpoints")
+    os.makedirs(nested)
+    with open(os.path.join(nested, "p.png"), "wb") as f:
+        f.write(b"png")
+
+    run_dir = export_run(run, str(tmp_path / "mlruns"))
+    art = os.path.join(run_dir, "artifacts")
+    assert os.path.exists(os.path.join(art, "grid.png"))
+    assert not os.path.exists(os.path.join(art, "checkpoints"))
+    assert os.path.exists(os.path.join(art, "plots", "checkpoints", "p.png"))
+
+    run_dir2 = export_run(run, str(tmp_path / "mlruns_full"),
+                          include_checkpoints=True)
+    assert os.path.exists(os.path.join(
+        run_dir2, "artifacts", "checkpoints", "42", "state.orbax"))
+
+
+def test_server_artifact_stream_bounded_by_content_length(store):
+    """Artifact streaming races concurrent writers: training appends to
+    live artifacts (CSVs, logs) between the server's fstat and the copy.
+    The body must stop at the declared Content-Length — surplus bytes on
+    a keep-alive connection would be parsed as the next HTTP response."""
+    import os
+    import types
+
+    import downgan_tpu.tracking.server as server_mod
+    from downgan_tpu.tracking.server import serve
+
+    eid = store.create_experiment("exp")
+    run = store.create_run(eid, run_name="r").start()
+    body = b"0123456789ABCDEF"
+    with open(run.artifact_path("live.csv"), "wb") as f:
+        f.write(body)
+
+    real_fstat = os.fstat
+
+    def shrunk_fstat(fd):
+        st = real_fstat(fd)
+        # Simulate "file grew after fstat": report 4 bytes fewer than are
+        # on disk, but only for our sentinel file so nothing else in the
+        # process sees a lying stat.
+        if st.st_size == len(body):
+            return types.SimpleNamespace(st_size=st.st_size - 4)
+        return st
+
+    server = serve(store.root, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    server_mod.os.fstat = shrunk_fstat
+    try:
+        # Raw socket (not http.client, which stops reading at
+        # Content-Length and would mask surplus bytes): everything the
+        # server sends after the blank line is body, and with the
+        # pre-fix copy-to-EOF there are 4 bytes more than declared.
+        import socket
+
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(b"GET /artifact/%s/live.csv HTTP/1.0\r\n\r\n"
+                      % run.run_id.encode())
+            raw = b""
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                raw += chunk
+        head, _, payload = raw.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n", 1)[0]
+        assert b"Content-Length: %d" % (len(body) - 4) in head
+        assert payload == body[:-4]  # exactly the declared bytes, no more
+    finally:
+        server_mod.os.fstat = real_fstat
+        server.shutdown()
+
+
 def test_mlflow_live_sink_mirrors_metrics(store, tmp_path):
     """MlflowLiveRun attached via Run.attach_sink mirrors every
     log_metrics call into the FileStore AS IT HAPPENS (the reference's
