@@ -98,6 +98,18 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.trainer import Trainer
 
+    # Resolve the variant's calibrated bounds BEFORE spending the training
+    # budget: an uncalibrated combo must abort here, not after the ~7 min
+    # TPU run whose metrics it would then discard.
+    variant = tuple(name for name, on in (
+        ("augment", augment), ("conditional", conditional),
+        ("fused", fused), ("stochastic", stochastic)) if on)
+    thresholds = {} if smoke else THRESHOLDS_BY_VARIANT.get(variant)
+    if thresholds is None:
+        raise SystemExit(
+            f"no calibrated thresholds for variant {variant}; run the "
+            "combo on TPU first and add its receipt + bounds")
+
     if smoke:
         # Harness validation on CPU: tiny model/fields (MS-SSIM needs
         # >=128 px, so the spectral/structural metrics drop out), 2 epochs.
@@ -158,16 +170,8 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
                           np.asarray(test_ds.coarse), np.asarray(test_ds.fine),
                           n_members=3 if smoke else 8).items()}
 
-    variant = tuple(name for name, on in (
-        ("augment", augment), ("conditional", conditional),
-        ("fused", fused), ("stochastic", stochastic)) if on)
     checks = {}
     passed = True
-    thresholds = {} if smoke else THRESHOLDS_BY_VARIANT.get(variant)
-    if thresholds is None:
-        raise SystemExit(
-            f"no calibrated thresholds for variant {variant}; run the "
-            "combo on TPU first and add its receipt + bounds")
     for key, (op, bound) in thresholds.items():
         val = test_m.get(key)
         ok = val is not None and (val >= bound if op == ">=" else val <= bound)

@@ -35,6 +35,7 @@ from downgan_tpu.training.wgan import (
     build_eval_metrics,
     build_eval_scan,
     build_train_step,
+    g_updates_in_window,
 )
 from downgan_tpu.utils.plots import gen_grid_images, grid_sample_indices
 
@@ -463,10 +464,8 @@ class Trainer:
             self._steps_done += n_iters * hp.critic_iterations
             return means
         if "gen_loss" in means and n_iters:
-            nc = hp.critic_iterations
-            s0 = self._steps_done
-            # G updates in [s0, s0 + n_iters): count of multiples of nc.
-            n_upd = (s0 + n_iters - 1) // nc - -(-s0 // nc) + 1
+            n_upd = g_updates_in_window(
+                self._steps_done, n_iters, hp.critic_iterations)
             if n_upd > 0:
                 means = dict(means)
                 means["gen_loss"] = means["gen_loss"] * (n_iters / n_upd)

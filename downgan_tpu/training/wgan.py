@@ -295,6 +295,21 @@ def _ema_update(hp, ema: Any, new_params: Any) -> Any:
     return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
 
 
+def g_updates_in_window(start_step: int, n_steps: int,
+                        critic_iterations: int) -> int:
+    """G updates the reference schedule performs over steps
+    ``[start_step, start_step + n_steps)`` — the count of steps where
+    ``step % critic_iterations == 0`` (``wasserstein.py:136``, including
+    the G update at global step 0). The single source of truth for both
+    the trainer's gen_loss rescaling and the bench FLOP census."""
+    if n_steps <= 0:
+        return 0
+    n = critic_iterations
+    first = -(-start_step // n) * n  # first multiple of n >= start_step
+    last = (start_step + n_steps - 1) // n * n
+    return max(0, (last - first) // n + 1)
+
+
 def build_train_step(
     config: Config,
     gen: Generator,

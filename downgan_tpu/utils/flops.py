@@ -97,6 +97,7 @@ def train_flop_census(
     from downgan_tpu.ops.metrics import resolve_metrics
     from downgan_tpu.training.wgan import (
         _critic_pair_means,
+        g_updates_in_window,
         make_condition,
         make_loss_fns,
     )
@@ -183,13 +184,10 @@ def train_flop_census(
     else:
         # build_train_step: critic update + metric pass every step; G
         # update on steps where step % critic_iterations == 0
-        # (wasserstein.py:136 — exact count over [start, start+K)).
-        n = hp.critic_iterations
-        n_g = (
-            math.floor((start_step + scan_steps - 1) / n)
-            - math.ceil(start_step / n) + 1
-            if start_step + scan_steps > start_step else 0
-        )
+        # (wasserstein.py:136 — exact count over [start, start+K), shared
+        # with the trainer's gen_loss rescaling).
+        n_g = g_updates_in_window(start_step, scan_steps,
+                                  hp.critic_iterations)
         per_step_metrics = (
             (f_metrics if hp.metrics_reuse_fake else f_fake_gen + f_metrics)
             if with_metrics else 0.0
