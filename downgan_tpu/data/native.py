@@ -138,10 +138,16 @@ def nan_moments(data: np.ndarray) -> Tuple[float, float, int]:
 
 
 def standardize_inplace(data: np.ndarray, mean: float, std: float) -> np.ndarray:
-    """In-place z-score of a float32 array; returns it (numpy fallback copies)."""
+    """In-place z-score of a float32 array; returns it (numpy fallback
+    copies). The fallback replicates the C kernel's float32 math exactly
+    — ``(x - float32(mean)) * float32(1/std)`` — so staged data is
+    bit-identical whether or not a g++ toolchain is available (multihost
+    pods may mix hosts with and without one)."""
     lib = _build_and_load()
     if lib is None or data.dtype != np.float32 or not data.flags.c_contiguous:
-        return ((data - mean) / std).astype(np.float32)
+        m = np.float32(mean)
+        s = np.float32(1.0 / float(std))
+        return (np.asarray(data, np.float32) - m) * s
     lib.standardize_inplace(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), data.size,
         float(mean), 1.0 / float(std),

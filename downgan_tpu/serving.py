@@ -62,18 +62,24 @@ class SRModel:
         # (wgan.eval_noise_rng): responses are deterministic — the same
         # request always returns the same fields. Ensemble draws are an
         # offline workflow (`generate --ensemble`), not a serving concern.
-        # The latent is drawn PER REQUEST (in the request's own padded
-        # block layout, _augment) and travels with the samples as extra
-        # input channels: a coalesced union batch then reproduces the
-        # direct path's latents bit-for-bit — injecting inside the forward
-        # would key each latent on union-batch position, i.e. on whatever
-        # concurrent traffic a request happened to coalesce with.
-        from downgan_tpu.training.wgan import eval_noise_rng, make_noise_injector
+        # Each request's samples get the latents of their OWN padded block
+        # layout (row i of a compiled-batch block gets eval-noise row i),
+        # appended as extra input channels, so a coalesced union batch
+        # reproduces the direct path's latents bit-for-bit — injecting
+        # inside the forward would key each latent on union-batch
+        # position, i.e. on whatever concurrent traffic a request happened
+        # to coalesce with. The latent block is a constant (fixed rng,
+        # fixed block shape): materialize it ONCE here and append on host
+        # (_augment) — zero per-request device traffic.
+        from downgan_tpu.training.wgan import eval_noise_rng
 
-        _inject = make_noise_injector(config)
-        _rng = eval_noise_rng(config)
         self._stochastic = config.noise_channels > 0
-        self._inject_fn = jax.jit(lambda x: _inject(_rng, x))
+        self._eval_noise = (
+            np.asarray(jax.random.normal(
+                eval_noise_rng(config),
+                (self.batch, config.coarse_size, config.coarse_size,
+                 config.noise_channels), jnp.float32))
+            if self._stochastic else None)
         self._fwd = jax.jit(gen.apply)
         # Multi-chip domain inference: tiles shard over the mesh's data
         # axis (parallel.spatial.tiled_sr_inference(mesh=...)). The
@@ -146,21 +152,16 @@ class SRModel:
 
     def _augment(self, coarse: np.ndarray) -> np.ndarray:
         """Append this request's fixed eval latents as extra input channels,
-        drawn in the request's OWN padded block layout — exactly the latents
-        the in-forward injection draws for a standalone request."""
+        in the request's OWN padded block layout (row i of each
+        compiled-batch block gets eval-noise row i) — exactly the latents
+        an in-forward injection would draw for a standalone request, with
+        no lock or device work (the block is precomputed in __init__)."""
         if not self._stochastic:
             return coarse
-        outs = []
-        # The injection is device work: hold the model lock (the "one
-        # compiled program, serialized TPU access" invariant) and count its
-        # dispatches like any other. Callers invoke _augment OUTSIDE their
-        # own lock scope, so this nested acquisition is safe.
-        with self._lock:
-            for block, pad in self._pad_blocks(coarse):
-                aug = np.asarray(self._inject_fn(jnp.asarray(block, jnp.float32)))
-                self.dispatch_count += 1
-                outs.append(aug[: self.batch - pad] if pad else aug)
-        return np.concatenate(outs, axis=0)
+        n = coarse.shape[0]
+        z = np.concatenate([self._eval_noise[: min(self.batch, n - s)]
+                            for s in range(0, n, self.batch)])
+        return np.concatenate([coarse, z], axis=-1)
 
     def generate(self, coarse: np.ndarray) -> np.ndarray:
         self._validate_patches(coarse)

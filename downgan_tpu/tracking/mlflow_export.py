@@ -38,39 +38,14 @@ _STATUS = {"RUNNING": 1, "SCHEDULED": 2, "FINISHED": 3, "FAILED": 4,
            "KILLED": 5}
 
 
-def _yaml_scalar(v) -> str:
-    """Render one scalar so ``yaml.safe_load`` (what mlflow's FileStore
-    uses) round-trips it: bare numbers/bools, single-quoted strings unless
-    unambiguously plain."""
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    s = str(v)
-    # Quote unless unambiguously a plain YAML string: starts with a
-    # letter/underscore, only benign characters, not a keyword, no
-    # surrounding whitespace. Over-quoting is always safe for safe_load;
-    # the allowlist shape means YAML 1.1's numeric forms (0x1f, 1_000,
-    # +1, 1e3, sexagesimals, dates) all fail it and get quoted.
-    plain = (
-        s != "" and s == s.strip()
-        and (s[0].isalpha() or s[0] == "_")
-        and all(c.isalnum() or c in "-_. /()" for c in s)
-        and s.lower() not in ("null", "true", "false", "yes", "no",
-                              "on", "off", "none")
-    )
-    if not plain:
-        return "'" + s.replace("'", "''") + "'"
-    return s
-
-
 def _write_yaml(path: str, mapping: dict) -> None:
-    lines = [f"{k}: {_yaml_scalar(v)}" for k, v in mapping.items()]
-    # mlflow's run meta carries an empty tags list inline
+    # yaml.safe_dump(default_flow_style=False) is exactly how mlflow's own
+    # FileStore writes meta.yaml (mlflow/utils/yaml_utils.py), so quoting,
+    # key order and scalar forms match what its reader round-trips.
+    import yaml
+
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        yaml.safe_dump(mapping, f, default_flow_style=False)
 
 
 def _ms(seconds: Optional[float]) -> Optional[int]:

@@ -44,6 +44,21 @@ def test_standardize_inplace_matches_numpy():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_standardize_fallback_bit_identical(monkeypatch):
+    """The numpy fallback replicates the C kernel's float32 math exactly
+    ((x - f32(mean)) * f32(1/std)): staged bits must not depend on g++
+    availability — multihost pods can mix hosts with and without one."""
+    rng = np.random.default_rng(5)
+    data = (rng.standard_normal((500,)) * 2.0 + 5.0).astype(np.float32)
+    mean, std = float(data.mean()), float(data.std())
+    native_out = native.standardize_inplace(data.copy(), mean, std)
+    monkeypatch.setenv("DOWNGAN_DISABLE_NATIVE", "1")
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    numpy_out = native.standardize_inplace(data.copy(), mean, std)
+    np.testing.assert_array_equal(native_out, numpy_out)
+
+
 def test_block_mean_coarsen_matches_numpy():
     rng = np.random.default_rng(3)
     data = rng.standard_normal((3, 16, 24)).astype(np.float32)
