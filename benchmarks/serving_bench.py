@@ -7,6 +7,9 @@ patches/s, dispatch count (coalescing effectiveness) and p50/p95 request
 latency from /metrics.
 
 Usage: python benchmarks/serving_bench.py [n_clients] [reqs_per_client]
+       (--stochastic serves a noise_channels=4 generator — receipts that
+       the host-side eval-latent append keeps probabilistic serving at
+       the deterministic path's request rate)
 """
 from __future__ import annotations
 
@@ -22,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n_clients = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    reqs_per_client = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--stochastic"]
+    stochastic = "--stochastic" in sys.argv[1:]
+    n_clients = int(args[0]) if len(args) > 0 else 8
+    reqs_per_client = int(args[1]) if len(args) > 1 else 10
     req_samples = 8
 
     import jax
@@ -34,7 +39,8 @@ def main() -> None:
     from downgan_tpu.training.state import create_state
 
     setup_cache()
-    config = Config(hp=HyperParams(batch_size=32))
+    config = Config(hp=HyperParams(batch_size=32),
+                    noise_channels=4 if stochastic else 0)
     state = create_state(config, jax.random.PRNGKey(0))
     model = BatchingSRModel(config, state.g_params, batch_size=64,
                             max_wait_ms=5.0)
@@ -70,7 +76,8 @@ def main() -> None:
     stats = model.stats()
     total_reqs = n_clients * reqs_per_client
     print(json.dumps({
-        "metric": "serving_requests_per_sec",
+        "metric": ("serving_requests_per_sec_stochastic" if stochastic
+                   else "serving_requests_per_sec"),
         "value": round(total_reqs / wall, 1),
         "unit": "req/s",
         "patches_per_sec": round(total_reqs * req_samples / wall, 1),
