@@ -30,6 +30,16 @@ Usage:
       on the fixed-realization metrics, plus a probabilistic report —
       fair CRPS / spread / ensemble-mean MAE over an 8-member test
       ensemble (CRPS <= member MAE is the informative-spread check)
+  python benchmarks/quality_gate.py --freq-sep     # same budget with the
+      frequency-separation trainer (hp.freq_sep=True — the reference's
+      bit-rotted wasserstein_fs.py variant made first-class: critic sees
+      high-pass residuals, content loss applies to the low-pass component;
+      thresholds calibrated for the variant's own dynamics)
+  python benchmarks/quality_gate.py --arch srresnet  # same budget with
+      the second generator family (the reference's dead SRGAN variant,
+      networks/generator.py:93-204, made real as
+      Config.generator_arch="srresnet"); receipts that the family TRAINS
+      to quality, not merely that it runs
 
 Prints one JSON line ``{"gate": "quality", "passed": bool, ...}`` and
 exits non-zero on failure, so it drops into any CI with TPU runners as a
@@ -86,6 +96,27 @@ THRESHOLDS_BY_VARIANT = {
     # steps). Receipt in quality_gate_results.jsonl.
     ("fused",): {"MSSSIM_test": (">=", 0.22), "RALSD_test": ("<=", 6.5),
                  "MAE_test": ("<=", 0.87)},
+    # Frequency-separation trainer (reference wasserstein_fs.py made
+    # first-class as hp.freq_sep). The critic only ever scores high-pass
+    # residuals and the content loss only constrains the low-pass
+    # component, so at this budget structure/pointwise metrics land below
+    # the base variant by construction (the adversarial signal carries
+    # ALL the small-scale structure) while the SPECTRUM is the best any
+    # gate-budget variant measures — RALSD 3.67 dB vs the base 5.33.
+    # Receipted on TPU: MSSSIM 0.1430 / RALSD 3.6681 / MAE 0.9376.
+    ("freq_sep",): {"MSSSIM_test": (">=", 0.12), "RALSD_test": ("<=", 4.6),
+                    "MAE_test": ("<=", 0.98)},
+    # Second generator family (generator_arch="srresnet"): a plain
+    # residual trunk without the RRDB dense connections. Receipted on
+    # TPU twice: MSSSIM 0.2652/0.2651, RALSD 6.80/7.39 dB, MAE
+    # 0.8050/0.7995 — structure and pointwise on par with the RRDB base
+    # at this budget, spectrum ~1.5 dB behind (the dense blocks earn
+    # their FLOPs in small-scale power). Unlike the RRDB variants this
+    # family is NOT bit-reproducible across runs at the same seed
+    # (~0.6 dB RALSD spread over two receipts), so the spectral bound is
+    # sized to the observed variance, not to one run.
+    ("srresnet",): {"MSSSIM_test": (">=", 0.21), "RALSD_test": ("<=", 8.4),
+                    "MAE_test": ("<=", 0.88)},
 }
 # The round-3 stochastic receipt also pinned an informative ensemble:
 # fair CRPS 0.6819, 15% below the single-member MAE. Keep it that way.
@@ -93,7 +124,8 @@ ENSEMBLE_CRPS_MAX = 0.78
 
 
 def run(smoke: bool, augment: bool = False, conditional: bool = False,
-        stochastic: bool = False, fused: bool = False) -> dict:
+        stochastic: bool = False, fused: bool = False,
+        freq_sep: bool = False, arch: str = "rrdb") -> dict:
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.trainer import Trainer
@@ -103,7 +135,9 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
     # TPU run whose metrics it would then discard.
     variant = tuple(name for name, on in (
         ("augment", augment), ("conditional", conditional),
-        ("fused", fused), ("stochastic", stochastic)) if on)
+        ("freq_sep", freq_sep), ("fused", fused),
+        ("srresnet", arch == "srresnet"),
+        ("stochastic", stochastic)) if on)
     thresholds = {} if smoke else THRESHOLDS_BY_VARIANT.get(variant)
     if thresholds is None:
         raise SystemExit(
@@ -115,10 +149,12 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
         # >=128 px, so the spectral/structural metrics drop out), 2 epochs.
         config = Config(
             coarse_size=8, fine_size=32, filters=8, num_res_blocks=1,
+            generator_arch=arch,
             noise_channels=2 if stochastic else 0,
             hp=HyperParams(batch_size=8, epochs=2,
                            schedule="fused" if fused else "reference",
                            metrics_reuse_fake=fused,
+                           freq_sep=freq_sep,
                            # smoke set is 28 train rows -> 3 steps/epoch;
                            # a fused round needs critic_iterations of them
                            critic_iterations=2 if fused else 5,
@@ -128,6 +164,7 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
     else:
         config = Config(
             critic_conditional=conditional,
+            generator_arch=arch,
             noise_channels=4 if stochastic else 0,
             hp=HyperParams(
                 batch_size=BATCH,
@@ -139,6 +176,7 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
                 # making it the benchmark default.
                 schedule="fused" if fused else "reference",
                 metrics_reuse_fake=fused,
+                freq_sep=freq_sep,
                 metrics_to_calculate=("MAE", "MSE", "MSSSIM", "RALSD", "Wass"),
             ))
         n_samples = N_SAMPLES
@@ -190,6 +228,8 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
         "conditional": conditional,
         "stochastic": stochastic,
         "fused": fused,
+        "freq_sep": freq_sep,
+        "arch": arch,
         "passed": passed,
         "epochs": config.hp.epochs,
         "covariate_noise": COVARIATE_NOISE,
@@ -203,6 +243,14 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
 
 def main() -> None:
     smoke = "--smoke" in sys.argv
+    arch = "rrdb"
+    if "--arch" in sys.argv:
+        i = sys.argv.index("--arch")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--arch requires a value (rrdb | srresnet)")
+        arch = sys.argv[i + 1]
+        if arch not in ("rrdb", "srresnet"):
+            raise SystemExit(f"unknown --arch {arch!r} (rrdb | srresnet)")
     if smoke or os.environ.get("QUALITY_GATE_FORCE_CPU") == "1":
         import jax
 
@@ -213,7 +261,9 @@ def main() -> None:
     out = run(smoke, augment="--augment" in sys.argv,
               conditional="--conditional" in sys.argv,
               stochastic="--stochastic" in sys.argv,
-              fused="--fused" in sys.argv)
+              fused="--fused" in sys.argv,
+              freq_sep="--freq-sep" in sys.argv,
+              arch=arch)
     print(json.dumps(out))
     sys.exit(0 if out["passed"] else 1)
 

@@ -70,6 +70,26 @@ def test_quality_gate_smoke_stochastic():
     assert ens["CRPS"] > 0 and ens["member_MAE"] > 0
 
 
+def test_quality_gate_smoke_freq_sep_and_srresnet():
+    """--freq-sep (reference wasserstein_fs.py made first-class) and
+    --arch srresnet (the second generator family) drive their variants
+    through the same harness; variant flags land in the verdict JSON."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    for extra, key, want in ((["--freq-sep"], "freq_sep", True),
+                             (["--arch", "srresnet"], "arch", "srresnet")):
+        proc = subprocess.run(
+            [sys.executable, GATE, "--smoke"] + extra, env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        lines = [l for l in proc.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        rec = json.loads(lines[-1])
+        assert rec[key] == want
+        assert rec["passed"] is True
+        assert rec["metrics"]["MAE_test"] > 0
+
+
 def test_stream_bench_smoke():
     """The data-residency throughput harness (benchmarks/stream_bench.py)
     runs all three tiers end-to-end in smoke mode."""
