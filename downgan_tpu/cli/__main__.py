@@ -228,6 +228,21 @@ def cli() -> None:
               "input is the channel-concat of the fine field with the "
               "nearest-upsampled coarse stack (cGAN-SR; the reference "
               "critic is unconditional and this default preserves that).")
+@click.option("--freq-sep/--no-freq-sep", default=None,
+              help="Frequency-separation training (the reference's "
+              "wasserstein_fs.py variant): the critic scores high-pass "
+              "residuals and the content loss constrains the low-pass "
+              "band. Default off (reference parity).")
+@click.option("--generator-arch", type=click.Choice(["rrdb", "srresnet"]),
+              default=None,
+              help="Generator family: rrdb (the reference's shipped "
+              "ESRGAN model, default) or srresnet (its SRGAN-style "
+              "variant made real).")
+@click.option("--noise-channels", type=int, default=None,
+              help="Latent noise channels appended to the generator input "
+              "(> 0 = stochastic generator for probabilistic "
+              "downscaling; default 0 = the reference's deterministic "
+              "model).")
 def train(config_path, region, epochs, batch_size, lr, lr_schedule,
           lr_warmup_steps, lr_decay_steps, lr_final_factor, compute_dtype,
           augment_flips, grad_accum, schedule, synthetic, samples,
@@ -237,7 +252,7 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
           coordinator, num_processes, process_id, host_feed, stream,
           save_every, max_checkpoints, keep_every, print_every, plot_every,
           eof_lambda, tensorboard, mlflow_dir, track_best, best_mode,
-          critic_conditional) -> None:
+          critic_conditional, freq_sep, generator_arch, noise_channels) -> None:
     """Train the WGAN-GP super-resolution model."""
     import dataclasses
 
@@ -280,9 +295,16 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
         lr_decay_steps=lr_decay_steps, lr_final_factor=lr_final_factor,
         compute_dtype=compute_dtype, augment_flips=augment_flips,
         grad_accum=grad_accum, schedule=schedule, eof_lambda=eof_lambda,
+        freq_sep=freq_sep,
     )
     if critic_conditional is not None:
         config = config.replace(critic_conditional=critic_conditional)
+    if generator_arch is not None:
+        config = config.replace(generator_arch=generator_arch)
+    if noise_channels is not None:
+        if noise_channels < 0:
+            raise click.UsageError("--noise-channels must be >= 0")
+        config = config.replace(noise_channels=noise_channels)
     if warm_start:
         # Validate the bundle layout and adopt its model-shape fields up
         # front (cheap: config.json parse + directory checks, no orbax
@@ -303,6 +325,16 @@ def train(config_path, region, epochs, batch_size, lr, lr_schedule,
                 "`import-torch` layout)")
         with open(wcfg_path) as f:
             wcfg = Config.from_json(f.read())
+        if generator_arch is not None and generator_arch != wcfg.generator_arch:
+            raise click.UsageError(
+                f"--generator-arch {generator_arch} conflicts with the "
+                f"bundle's generator_arch={wcfg.generator_arch!r} (the "
+                "warm-start weights fix the architecture)")
+        if noise_channels is not None and noise_channels != wcfg.noise_channels:
+            raise click.UsageError(
+                f"--noise-channels {noise_channels} conflicts with the "
+                f"bundle's noise_channels={wcfg.noise_channels} (the "
+                "warm-start weights fix the generator input width)")
         config = config.replace(
             filters=wcfg.filters, num_res_blocks=wcfg.num_res_blocks,
             n_covariates=wcfg.n_covariates,
@@ -1369,6 +1401,14 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
               help="Comma-separated update schedules to sweep (reference = "
               "the parity num_steps%%5 step; fused = one compiled round of "
               "critic_iterations critic updates + 1 G update).")
+@click.option("--grad-accums", default="1",
+              help="Comma-separated hp.grad_accum candidates, crossed with "
+              "the batch axis (each batch is split into that many scanned "
+              "microbatches, one optimizer update — PERF.md: effective "
+              "batch 1024 as 8x128 microbatches beat the monolithic b1024 "
+              "by 6%% while peak activation memory stays at the microbatch "
+              "footprint). Batches not divisible by a candidate are "
+              "skipped for it.")
 @click.option("--fast-paths/--no-fast-paths", default=True,
               help="After the (batch, dtype) sweep, also measure the "
               "metrics_reuse_fake and fused_critic_pass fast paths at the "
@@ -1388,8 +1428,8 @@ def profile(config_path, region, batch_size, compute_dtype, steps, mode,
               "session-variance artifact to keep next to BENCH results.")
 @click.option("--smoke", is_flag=True,
               help="Harness check on the CPU backend (tiny model/shapes).")
-def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
-         reps, timeout_s, out, sweep_out, smoke) -> None:
+def tune(config_path, batches, dtypes, schedules, grad_accums, fast_paths,
+         scan_steps, reps, timeout_s, out, sweep_out, smoke) -> None:
     """Find the production throughput point on THIS hardware.
 
     Sweeps candidate (batch, dtype) configurations through the benchmark
@@ -1411,7 +1451,7 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
     base = _load_config(config_path, None)
 
     def measure(batch: int, dtype: str, schedule: str = "reference",
-                **toggles: bool) -> Optional[dict]:
+                grad_accum: int = 1, **toggles: bool) -> Optional[dict]:
         # Start from a BENCH_*-clean environment: a stray exported knob
         # (BENCH_MODE=infer, BENCH_FORCE_CPU=1, BENCH_MULTIHOST=1, ...)
         # would otherwise silently corrupt or crash the whole sweep.
@@ -1422,6 +1462,7 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
             BENCH_BATCH=str(batch), BENCH_DTYPE=dtype,
             BENCH_SCAN_STEPS=str(scan_steps), BENCH_REPS=str(reps),
             BENCH_SCHEDULE=schedule,
+            BENCH_GRAD_ACCUM=str(grad_accum),
             BENCH_REUSE_FAKE="1" if toggles.get("reuse_fake") else "0",
             BENCH_FUSED_CRITIC="1" if toggles.get("fused_critic") else "0",
         )
@@ -1433,6 +1474,7 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
         if smoke:
             env.update(BENCH_SMOKE="1", BENCH_FORCE_CPU="1")
         label = (f"b{batch} {dtype} {schedule}"
+                 + (f" accum{grad_accum}" if grad_accum > 1 else "")
                  + "".join(f" +{k}" for k, v in toggles.items() if v))
         click.echo(f"measuring {label} ...", err=True)
         try:
@@ -1448,18 +1490,25 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
             click.echo(f"  {label}: FAILED\n{proc.stderr[-2000:]}", err=True)
             return None
         rec = json.loads(lines[-1])
-        rec.update(batch=batch, dtype=dtype, schedule=schedule, **toggles)
+        rec.update(batch=batch, dtype=dtype, schedule=schedule,
+                   grad_accum=grad_accum, **toggles)
         click.echo(f"  {label}: {rec['value']} {rec['unit']}", err=True)
         return rec
 
     sched_list = [s.strip() for s in schedules.split(",") if s.strip()]
+    accum_list = [int(x) for x in grad_accums.split(",") if x.strip()]
     candidates = []
     for schedule in sched_list:
         for dtype in [d.strip() for d in dtypes.split(",") if d.strip()]:
             for b in [int(x) for x in batches.split(",") if x.strip()]:
-                rec = measure(b, dtype, schedule)
-                if rec is not None:
-                    candidates.append(rec)
+                for ga in accum_list:
+                    if ga < 1 or b % ga:
+                        click.echo(f"  b{b} accum{ga}: skipped (batch must "
+                                   "divide into microbatches)", err=True)
+                        continue
+                    rec = measure(b, dtype, schedule, grad_accum=ga)
+                    if rec is not None:
+                        candidates.append(rec)
     if not candidates:
         raise click.ClickException("every candidate failed or timed out")
 
@@ -1469,7 +1518,7 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
         singles = {}
         for toggle in ("reuse_fake", "fused_critic"):
             rec = measure(best["batch"], best["dtype"], best["schedule"],
-                          **{toggle: True})
+                          grad_accum=best["grad_accum"], **{toggle: True})
             if rec is not None:
                 candidates.append(rec)
                 singles[toggle] = rec["value"]
@@ -1479,6 +1528,7 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
         if all(singles.get(t, 0) > base_val
                for t in ("reuse_fake", "fused_critic")):
             rec = measure(best["batch"], best["dtype"], best["schedule"],
+                          grad_accum=best["grad_accum"],
                           reuse_fake=True, fused_critic=True)
             if rec is not None:
                 candidates.append(rec)
@@ -1489,17 +1539,19 @@ def tune(config_path, batches, dtypes, schedules, fast_paths, scan_steps,
         batch_size=best["batch"],
         compute_dtype=best["dtype"],
         schedule=best["schedule"],
+        grad_accum=best["grad_accum"],
         metrics_reuse_fake=bool(best.get("reuse_fake")),
         fused_critic_pass=bool(best.get("fused_critic")),
     ))
     report = {
         "best": {k: best[k] for k in
                  ("metric", "value", "unit", "batch", "dtype", "schedule",
-                  "aggregate_patches_per_sec", "n_chips")},
+                  "grad_accum", "aggregate_patches_per_sec", "n_chips")},
         "recommended_hp": {
             "batch_size": best["batch"],
             "compute_dtype": best["dtype"],
             "schedule": best["schedule"],
+            "grad_accum": best["grad_accum"],
             "metrics_reuse_fake": bool(best.get("reuse_fake")),
             "fused_critic_pass": bool(best.get("fused_critic")),
         },

@@ -166,6 +166,35 @@ def test_tune_smoke_fused_schedule(tmp_path):
     assert cfg.hp.schedule == "fused"
 
 
+def test_tune_smoke_grad_accum_axis(tmp_path):
+    """--grad-accums crosses hp.grad_accum with the batch axis (skipping
+    non-dividing combos) and the winner's accum lands in the recommended
+    config."""
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+    from downgan_tpu.config.config import Config
+
+    out = str(tmp_path / "tuned.json")
+    result = CliRunner().invoke(
+        cli,
+        ["tune", "--smoke", "--batches", "8", "--dtypes", "float32",
+         "--schedules", "reference", "--grad-accums", "1,2,3",
+         "--scan-steps", "2", "--reps", "1", "--no-fast-paths",
+         "--out", out],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    report = json.loads(
+        [l for l in result.output.splitlines() if l.startswith("{")][-1])
+    # accum 3 does not divide batch 8 -> two measured candidates
+    assert len(report["candidates"]) == 2
+    assert report["recommended_hp"]["grad_accum"] in (1, 2)
+    with open(out) as f:
+        cfg = Config.from_json(f.read())
+    assert cfg.hp.grad_accum == report["recommended_hp"]["grad_accum"]
+
+
 def test_bench_smoke_multihost_two_process():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
