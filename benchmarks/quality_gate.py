@@ -108,13 +108,15 @@ THRESHOLDS_BY_VARIANT = {
                     "MAE_test": ("<=", 0.98)},
     # Second generator family (generator_arch="srresnet"): a plain
     # residual trunk without the RRDB dense connections. Receipted on
-    # TPU twice: MSSSIM 0.2652/0.2651, RALSD 6.80/7.39 dB, MAE
-    # 0.8050/0.7995 — structure and pointwise on par with the RRDB base
-    # at this budget, spectrum ~1.5 dB behind (the dense blocks earn
-    # their FLOPs in small-scale power). Unlike the RRDB variants this
-    # family is NOT bit-reproducible across runs at the same seed
-    # (~0.6 dB RALSD spread over two receipts), so the spectral bound is
-    # sized to the observed variance, not to one run.
+    # TPU three times: runs 1 and 3 are bit-identical (MSSSIM 0.2652,
+    # RALSD 6.7958 dB, MAE 0.8050 — reproducibility holds for this
+    # family too); run 2, which RECOMPILED while another gate process
+    # held the single-tenant chip (concurrent compile under contention),
+    # landed 0.6 dB away (7.39 dB / MAE 0.7995) — a different compiled
+    # binary, not model nondeterminism. Structure/pointwise on par with
+    # the RRDB base at this budget, spectrum ~1.5 dB behind (the dense
+    # blocks earn their FLOPs in small-scale power). The spectral bound
+    # keeps margin for compile-variation (worst observed 7.39).
     ("srresnet",): {"MSSSIM_test": (">=", 0.21), "RALSD_test": ("<=", 8.4),
                     "MAE_test": ("<=", 0.88)},
 }
