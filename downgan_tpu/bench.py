@@ -301,6 +301,11 @@ def main() -> None:
         lambda: create_state(config, jax.random.PRNGKey(0)),
         out_shardings=replicated(mesh),
     )()
+    # Workload self-audit: the measured model's size (shape metadata only —
+    # no device fetch). Pins WHAT was benchmarked next to how fast it ran
+    # (the width-scaling receipt keys on these, benchmarks/width_scaling.py).
+    def n_params(tree) -> int:
+        return int(sum(x.size for x in jax.tree.leaves(tree)))
 
     rng_np = np.random.default_rng(0)
     cs, fs = config.coarse_size, config.fine_size
@@ -460,6 +465,9 @@ def main() -> None:
                     "aggregate_patches_per_sec": round(pps * n_chips, 1),
                     "dtype": dtype,
                     "schedule": config.hp.schedule,
+                    "filters": config.filters,
+                    "g_params": n_params(state.g_params),
+                    "c_params": n_params(state.c_params),
                     # Workload audit: steps between metric/logging passes
                     # (fused rounds log once per n_critic minibatches; 0 =
                     # metrics off). vs_baseline divides by the as-shipped
