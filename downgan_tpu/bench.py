@@ -197,7 +197,7 @@ def main() -> None:
     setup_cache()
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-    from downgan_tpu.training.state import create_state, make_models
+    from downgan_tpu.training.state import create_state, make_models, param_count
     from downgan_tpu.training.wgan import build_train_step
 
     import dataclasses
@@ -304,9 +304,6 @@ def main() -> None:
     # Workload self-audit: the measured model's size (shape metadata only —
     # no device fetch). Pins WHAT was benchmarked next to how fast it ran
     # (the width-scaling receipt keys on these, benchmarks/width_scaling.py).
-    def n_params(tree) -> int:
-        return int(sum(x.size for x in jax.tree.leaves(tree)))
-
     rng_np = np.random.default_rng(0)
     cs, fs = config.coarse_size, config.fine_size
     n_cov, n_pred = config.n_covariates, config.n_predictands
@@ -466,8 +463,8 @@ def main() -> None:
                     "dtype": dtype,
                     "schedule": config.hp.schedule,
                     "filters": config.filters,
-                    "g_params": n_params(state.g_params),
-                    "c_params": n_params(state.c_params),
+                    "g_params": param_count(state.g_params),
+                    "c_params": param_count(state.c_params),
                     # Workload audit: steps between metric/logging passes
                     # (fused rounds log once per n_critic minibatches; 0 =
                     # metrics off). vs_baseline divides by the as-shipped

@@ -1497,18 +1497,31 @@ def tune(config_path, batches, dtypes, schedules, grad_accums, fast_paths,
 
     sched_list = [s.strip() for s in schedules.split(",") if s.strip()]
     accum_list = [int(x) for x in grad_accums.split(",") if x.strip()]
+    batch_list = [int(x) for x in batches.split(",") if x.strip()]
+    # Validate the (batch, grad_accum) grid once up front so a fully
+    # skipped sweep reports the divisibility constraint, not phantom
+    # bench failures (and the skip line prints once, not per
+    # schedule x dtype).
+    combos = []
+    for b in batch_list:
+        for ga in accum_list:
+            if ga < 1 or b % ga:
+                click.echo(f"  b{b} accum{ga}: skipped (batch must "
+                           "divide into microbatches)", err=True)
+            else:
+                combos.append((b, ga))
+    if not combos:
+        raise click.ClickException(
+            "no runnable (batch, grad-accum) combination: every batch in "
+            f"--batches {batches!r} fails to divide by every value in "
+            f"--grad-accums {grad_accums!r}")
     candidates = []
     for schedule in sched_list:
         for dtype in [d.strip() for d in dtypes.split(",") if d.strip()]:
-            for b in [int(x) for x in batches.split(",") if x.strip()]:
-                for ga in accum_list:
-                    if ga < 1 or b % ga:
-                        click.echo(f"  b{b} accum{ga}: skipped (batch must "
-                                   "divide into microbatches)", err=True)
-                        continue
-                    rec = measure(b, dtype, schedule, grad_accum=ga)
-                    if rec is not None:
-                        candidates.append(rec)
+            for b, ga in combos:
+                rec = measure(b, dtype, schedule, grad_accum=ga)
+                if rec is not None:
+                    candidates.append(rec)
     if not candidates:
         raise click.ClickException("every candidate failed or timed out")
 

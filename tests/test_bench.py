@@ -195,6 +195,27 @@ def test_tune_smoke_grad_accum_axis(tmp_path):
     assert cfg.hp.grad_accum == report["recommended_hp"]["grad_accum"]
 
 
+def test_tune_all_combos_skipped_reports_constraint(tmp_path):
+    """A sweep where no batch divides any grad-accum aborts up front
+    naming the divisibility constraint (not 'failed or timed out'), and
+    the skip line prints once per combo, not per schedule x dtype."""
+    from click.testing import CliRunner
+
+    from downgan_tpu.cli.__main__ import cli
+
+    result = CliRunner().invoke(
+        cli,
+        ["tune", "--smoke", "--batches", "8", "--dtypes", "float32,bfloat16",
+         "--schedules", "reference,fused", "--grad-accums", "3",
+         "--scan-steps", "2", "--reps", "1", "--no-fast-paths",
+         "--out", str(tmp_path / "tuned.json")],
+    )
+    assert result.exit_code != 0
+    assert "no runnable (batch, grad-accum) combination" in result.output
+    assert "failed or timed out" not in result.output
+    assert result.output.count("b8 accum3: skipped") == 1
+
+
 def test_bench_smoke_multihost_two_process():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
