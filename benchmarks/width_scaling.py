@@ -23,7 +23,10 @@ Usage:
 ``--batches`` is either one batch size for every width or a
 comma-separated list matched to ``--widths`` (wider models need more HBM
 for the GP double backward at the same batch). One JSON line per width;
-committed TPU results live in ``width_scaling_results.jsonl``.
+``--out benchmarks/width_scaling_results.jsonl`` appends the on-TPU
+records there (committed alongside the PERF.md table once measured —
+each width not in the persistent compile cache costs ~10 min of compile
+on this 1-core host, so the receipt runs widths sequentially).
 ``--smoke`` validates the harness on the host CPU backend with tiny
 shapes (tests/test_width_scaling.py).
 """
