@@ -13,9 +13,18 @@ Default configuration is the measured single-chip production point
 (batch 128, bfloat16 — the measured throughput knee in rounds 2-4 —
 with the tune-recommended fused n-critic schedule + reused metric fake,
 round 4; every piece convergence/quality-receipted in PERF.md and
-benchmarks/quality_gate_results.jsonl). The reference-parity step stays
-env vars away: BENCH_SCHEDULE=reference BENCH_REUSE_FAKE=0 (and
-BENCH_BATCH=64 BENCH_DTYPE=float32 for the reference-parity workload).
+benchmarks/quality_gate_results.jsonl). The DEFAULT invocation is
+self-contained (VERDICT r4 weak #1): it measures BOTH the
+reference-PARITY step (schedule="reference", per-batch metric pass, no
+fast paths — the honest apples-to-apples comparison against the
+reference hot loop, ``wasserstein.py:131-140`` +
+``mlflow_tools/mlflow_epoch.py:53-63``) and the tuned production point,
+and prints ONE JSON line whose top level is the tuned record with the
+full parity record nested under ``"reference_parity"`` — each with its
+own FLOP census / MFU self-audit. Explicitly setting BENCH_SCHEDULE or
+BENCH_REUSE_FAKE (as `tune` subprocesses do), BENCH_CONFIG, smoke, or
+multihost mode measures exactly that single variant; BENCH_DUAL=1/0
+forces the behavior either way.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline``
 compares patches/sec/chip against a DERIVED as-shipped A100 reference of
@@ -195,12 +204,8 @@ def main() -> None:
     from downgan_tpu.runtime import setup_cache
 
     setup_cache()
-    from downgan_tpu.config.config import Config, HyperParams
-    from downgan_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-    from downgan_tpu.training.state import create_state, make_models, param_count
-    from downgan_tpu.training.wgan import build_train_step
-
-    import dataclasses
+    from downgan_tpu.config.config import Config
+    from downgan_tpu.parallel.mesh import make_mesh
 
     smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
     base_path = os.environ.get("BENCH_CONFIG")
@@ -261,6 +266,56 @@ def main() -> None:
     )
     if smoke:
         hp_kw["metrics_to_calculate"] = ("MAE", "MSE", "Wass")
+
+    # Self-contained default (VERDICT r4): with no explicit schedule /
+    # fast-path knobs, measure BOTH the reference-parity step and the
+    # tuned production point in one run, so the archived artifact carries
+    # the honest vs_baseline comparison AND the production number without
+    # cross-referencing the sweep. `tune` subprocesses always set
+    # BENCH_SCHEDULE/BENCH_REUSE_FAKE, so sweeps stay single-variant.
+    dual_env = os.environ.get("BENCH_DUAL")
+    dual = (dual_env == "1" if dual_env is not None else (
+        not smoke and not multihost and base_path is None
+        and "BENCH_SCHEDULE" not in os.environ
+        and "BENCH_REUSE_FAKE" not in os.environ))
+
+    if multihost:
+        from downgan_tpu.parallel.multihost import global_mesh
+
+        mesh = global_mesh()
+    else:
+        mesh = make_mesh()
+
+    common = dict(base=base, mesh=mesh, multihost=multihost, smoke=smoke,
+                  batch=batch, scan_steps=scan_steps, reps=reps,
+                  with_metrics=with_metrics)
+    if dual:
+        parity = _measure(
+            hp_kw=dict(hp_kw, schedule="reference", metrics_reuse_fake=False,
+                       fused_critic_pass=False),
+            tag="parity", **common)
+        tuned = _measure(
+            hp_kw=dict(hp_kw, schedule="fused", metrics_reuse_fake=True),
+            tag="tuned", **common)
+        out = {**tuned, "dual": True, "reference_parity": parity}
+    else:
+        out = _measure(hp_kw=hp_kw, tag="single", **common)
+    if jax.process_index() == 0:
+        print(json.dumps(out))
+
+
+def _measure(*, base, mesh, multihost: bool, smoke: bool, hp_kw: dict,
+             batch: int, scan_steps: int, reps: int, with_metrics: bool,
+             tag: str = "single") -> dict:
+    """Compile, time, and FLOP-census one train-step variant; returns the
+    self-auditing record dict (the caller prints)."""
+    import dataclasses
+
+    from downgan_tpu.parallel.mesh import batch_sharding, replicated
+    from downgan_tpu.training.state import create_state, make_models, param_count
+    from downgan_tpu.training.wgan import build_train_step
+
+    dtype = hp_kw["compute_dtype"]
     config = base.replace(hp=dataclasses.replace(base.hp, **hp_kw))
     # "fused" (SURVEY §7 option b, wgan.py build_fused_round): one round =
     # n_critic critic updates on DISTINCT minibatches + 1 generator update,
@@ -288,12 +343,6 @@ def main() -> None:
               f"critic_iterations={config.hp.critic_iterations})",
               file=sys.stderr)
         scan_steps = aligned
-    if multihost:
-        from downgan_tpu.parallel.multihost import global_mesh
-
-        mesh = global_mesh()
-    else:
-        mesh = make_mesh()
     gen, critic = make_models(config)
     # Initialize ON the mesh (multihost-safe: a host-local state cannot be
     # device_put onto another process's devices).
@@ -395,7 +444,7 @@ def main() -> None:
         from jax._src import distributed as _dist
 
         _dist.global_state.client.wait_at_barrier(
-            "bench_compiled", timeout_in_ms=1_800_000)
+            f"bench_compiled_{tag}", timeout_in_ms=1_800_000)
 
     # NOTE: sync by fetching a scalar output, NOT block_until_ready — the
     # axon tunnel's block_until_ready can return before execution finishes
@@ -437,47 +486,42 @@ def main() -> None:
         if peak_tflops:
             perf["peak_tflops"] = peak_tflops
             perf["mfu_vs_peak"] = round(achieved / peak_tflops, 4)
-    if jax.process_index() == 0:
-        print(
-            json.dumps(
-                {
-                    "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
-                    + ("" if with_metrics else "_nometrics")
-                    + ("_fused" if fused else "")
-                    + ("_reusefake" if config.hp.metrics_reuse_fake else "")
-                    + ("_fusedcritic" if config.hp.fused_critic_pass else "")
-                    + ("_remat" if config.hp.remat else "")
-                    + (f"_accum{config.hp.grad_accum}"
-                       if config.hp.grad_accum > 1 else "")
-                    + ("_augment" if config.hp.augment_flips else "")
-                    + ("_smoke" if smoke else ""),
-                    "value": round(pps, 1),
-                    "unit": "patches/sec/chip",
-                    "vs_baseline": round(pps / A100_REFERENCE_PATCHES_PER_SEC, 3),
-                    "vs_tuned_a100": round(pps / A100_TUNED_PATCHES_PER_SEC, 3),
-                    "steps_per_sec": round(steps_per_sec, 3),
-                    "best_steps_per_sec": round(scan_steps / best, 3),
-                    "n_chips": n_chips,
-                    "n_processes": jax.process_count(),
-                    "aggregate_patches_per_sec": round(pps * n_chips, 1),
-                    "dtype": dtype,
-                    "schedule": config.hp.schedule,
-                    "filters": config.filters,
-                    "g_params": param_count(state.g_params),
-                    "c_params": param_count(state.c_params),
-                    # Workload audit: steps between metric/logging passes
-                    # (fused rounds log once per n_critic minibatches; 0 =
-                    # metrics off). vs_baseline divides by the as-shipped
-                    # reference loop, whose cadence is 1.
-                    "metric_pass_every": (
-                        (n_critic if fused else 1) if with_metrics else 0),
-                    # Session-variance hygiene: raw per-rep wall times so
-                    # knee drift across sessions is visible in artifacts.
-                    "rep_times_s": [round(t, 4) for t in times],
-                    **perf,
-                }
-            )
-        )
+    return {
+        "metric": f"wgan_gp_train_patches_per_sec_b{batch}_{dtype}"
+        + ("" if with_metrics else "_nometrics")
+        + ("_fused" if fused else "")
+        + ("_reusefake" if config.hp.metrics_reuse_fake else "")
+        + ("_fusedcritic" if config.hp.fused_critic_pass else "")
+        + ("_remat" if config.hp.remat else "")
+        + (f"_accum{config.hp.grad_accum}"
+           if config.hp.grad_accum > 1 else "")
+        + ("_augment" if config.hp.augment_flips else "")
+        + ("_smoke" if smoke else ""),
+        "value": round(pps, 1),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(pps / A100_REFERENCE_PATCHES_PER_SEC, 3),
+        "vs_tuned_a100": round(pps / A100_TUNED_PATCHES_PER_SEC, 3),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "best_steps_per_sec": round(scan_steps / best, 3),
+        "n_chips": n_chips,
+        "n_processes": jax.process_count(),
+        "aggregate_patches_per_sec": round(pps * n_chips, 1),
+        "dtype": dtype,
+        "schedule": config.hp.schedule,
+        "filters": config.filters,
+        "g_params": param_count(state.g_params),
+        "c_params": param_count(state.c_params),
+        # Workload audit: steps between metric/logging passes
+        # (fused rounds log once per n_critic minibatches; 0 =
+        # metrics off). vs_baseline divides by the as-shipped
+        # reference loop, whose cadence is 1.
+        "metric_pass_every": (
+            (n_critic if fused else 1) if with_metrics else 0),
+        # Session-variance hygiene: raw per-rep wall times so
+        # knee drift across sessions is visible in artifacts.
+        "rep_times_s": [round(t, 4) for t in times],
+        **perf,
+    }
 
 
 if __name__ == "__main__":  # python -m downgan_tpu.bench (used by `tune`)

@@ -89,6 +89,43 @@ def test_bench_smoke_fused_schedule():
     assert rec["flops_per_step"] > 2 * ref_rec["flops_per_step"]
 
 
+def test_bench_smoke_dual_emits_parity_and_tuned():
+    """BENCH_DUAL=1 (the non-smoke default with no explicit schedule
+    knobs) measures BOTH the reference-parity step and the tuned fused
+    production point in one run: ONE JSON line, tuned record top-level,
+    full parity record nested under reference_parity — each with its own
+    FLOP census (VERDICT r4: the archived BENCH_rN artifact must be
+    self-contained)."""
+    env = _bench_env(8, BENCH_DUAL="1")
+    proc = subprocess.run(
+        [sys.executable, BENCH], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1  # still ONE JSON line (driver contract)
+    rec = json.loads(lines[0])
+    assert rec["dual"] is True
+    assert rec["schedule"] == "fused"
+    assert "_reusefake" in rec["metric"]
+    parity = rec["reference_parity"]
+    assert parity["schedule"] == "reference"
+    assert "_reusefake" not in parity["metric"]
+    for r in (rec, parity):
+        assert r["value"] > 0
+        assert r["vs_baseline"] > 0
+        assert r["flops_per_step"] > 0
+        assert r["rep_times_s"]
+    # a fused ROUND does ~n_critic x the per-iteration work of one step
+    assert rec["flops_per_step"] > 2 * parity["flops_per_step"]
+    # explicit schedule knobs must keep sweeps single-variant
+    single = subprocess.run(
+        [sys.executable, BENCH], env=_bench_env(8, BENCH_SCHEDULE="fused"),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert "reference_parity" not in _last_json_line(single.stdout)
+
+
 def test_tune_smoke(tmp_path, monkeypatch):
     """`downgan tune` sweeps candidates through the bench harness and
     writes the recommended production config. A --config base is plumbed
