@@ -253,19 +253,27 @@ def main() -> None:
         arch = sys.argv[i + 1]
         if arch not in ("rrdb", "srresnet"):
             raise SystemExit(f"unknown --arch {arch!r} (rrdb | srresnet)")
-    if smoke or os.environ.get("QUALITY_GATE_FORCE_CPU") == "1":
+    on_cpu = smoke or os.environ.get("QUALITY_GATE_FORCE_CPU") == "1"
+    if on_cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    from downgan_tpu.runtime import setup_cache
+    from downgan_tpu.utils.tpulock import chip_lock
 
-    setup_cache()
-    out = run(smoke, augment="--augment" in sys.argv,
-              conditional="--conditional" in sys.argv,
-              stochastic="--stochastic" in sys.argv,
-              fused="--fused" in sys.argv,
-              freq_sep="--freq-sep" in sys.argv,
-              arch=arch)
+    # Gate hygiene (VERDICT r4 #5): one gate at a time on the
+    # single-tenant chip — a gate that compiles while another process
+    # holds the chip can produce a different binary (the srresnet run-2
+    # outlier), so the lock wraps compile + the whole budget run.
+    with chip_lock(enabled=not on_cpu):
+        from downgan_tpu.runtime import setup_cache
+
+        setup_cache()
+        out = run(smoke, augment="--augment" in sys.argv,
+                  conditional="--conditional" in sys.argv,
+                  stochastic="--stochastic" in sys.argv,
+                  fused="--fused" in sys.argv,
+                  freq_sep="--freq-sep" in sys.argv,
+                  arch=arch)
     print(json.dumps(out))
     sys.exit(0 if out["passed"] else 1)
 

@@ -174,6 +174,18 @@ def infer_main() -> None:
 
 
 def main() -> None:
+    force_cpu = os.environ.get("BENCH_FORCE_CPU", "0") == "1"
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+    from downgan_tpu.utils.tpulock import chip_lock
+
+    # One bench at a time on the single-tenant chip (taken before the
+    # first backend touch so compilation is serialized too; `tune`'s
+    # per-variant subprocesses acquire it one after another).
+    with chip_lock(enabled=not force_cpu and not smoke):
+        _main()
+
+
+def _main() -> None:
     if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
         # The axon TPU plugin wins over JAX_PLATFORMS env; an explicit
         # config update before backend init is the reliable override.

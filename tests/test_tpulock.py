@@ -1,0 +1,49 @@
+"""Chip-lock hygiene: gate/bench runs serialize on the single-tenant chip
+(VERDICT r4 #5 — the srresnet run-2 outlier came from two processes
+compiling concurrently)."""
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+from downgan_tpu.utils.tpulock import chip_lock
+
+
+def test_disabled_lock_is_noop(tmp_path):
+    with chip_lock(enabled=False, path=str(tmp_path / "l")) as held:
+        assert held is False
+
+
+def test_lock_acquires_and_releases(tmp_path):
+    p = str(tmp_path / "chip.lock")
+    with chip_lock(path=p) as held:
+        assert held is True
+    # released: a second acquisition must not block
+    t0 = time.monotonic()
+    with chip_lock(path=p) as held:
+        assert held is True
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_lock_blocks_across_processes(tmp_path):
+    """A second process waits until the holder releases — the property
+    that keeps two gates from compiling on the chip at once."""
+    p = str(tmp_path / "chip.lock")
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys, time; sys.path.insert(0, %r); "
+            "from downgan_tpu.utils.tpulock import chip_lock\n"
+            "with chip_lock(path=%r, verbose=False):\n"
+            "    print('held', flush=True); time.sleep(2.0)"
+        ) % (str(__import__('pathlib').Path(__file__).resolve().parents[1]), p)],
+        stdout=subprocess.PIPE, text=True,
+        cwd=str(__import__('pathlib').Path(__file__).resolve().parents[1]),
+    )
+    assert holder.stdout.readline().strip() == "held"
+    t0 = time.monotonic()
+    with chip_lock(path=p, verbose=False) as held:
+        waited = time.monotonic() - t0
+        assert held is True
+    assert waited > 0.5, f"second acquirer did not block (waited {waited:.2f}s)"
+    assert holder.wait(timeout=10) == 0
