@@ -40,6 +40,24 @@ Usage:
       networks/generator.py:93-204, made real as
       Config.generator_arch="srresnet"); receipts that the family TRAINS
       to quality, not merely that it runs
+  python benchmarks/quality_gate.py --divergence | --vorticity | --eof
+      # same budget with ONE physics regularizer on the generator
+      objective (hp.divergence_lambda / vorticity_lambda / eof_lambda =
+      1.0 — the loss terms the reference ships but never wires into a
+      trainer, losses.py:119-155 / :158-193 / :72-116): thresholds
+      calibrated per variant, and the report carries the
+      physical-consistency errors (std-normalized divergence/vorticity
+      MSE between generated and real test fields) that show what the
+      term buys
+  python benchmarks/quality_gate.py --physics       # divergence +
+      vorticity together (the combined physics run)
+  python benchmarks/quality_gate.py --grad-accum 2  # compose any
+      variant with microbatch gradient accumulation (per-microbatch
+      physics-loss normalization semantics receipted at TRAINING scale,
+      not just step scale; the variant key gains "accum")
+  python benchmarks/quality_gate.py --calibrate     # run the budget and
+      report metrics WITHOUT asserting thresholds (exit 0) — how new
+      variant bounds are measured before being pinned here
 
 Prints one JSON line ``{"gate": "quality", "passed": bool, ...}`` and
 exits non-zero on failure, so it drops into any CI with TPU runners as a
@@ -127,7 +145,10 @@ ENSEMBLE_CRPS_MAX = 0.78
 
 def run(smoke: bool, augment: bool = False, conditional: bool = False,
         stochastic: bool = False, fused: bool = False,
-        freq_sep: bool = False, arch: str = "rrdb") -> dict:
+        freq_sep: bool = False, arch: str = "rrdb",
+        divergence: bool = False, vorticity: bool = False,
+        eof: bool = False, grad_accum: int = 1,
+        calibrate: bool = False) -> dict:
     from downgan_tpu.config.config import Config, HyperParams
     from downgan_tpu.data.dataset import DeviceDataset, synthetic_dataset
     from downgan_tpu.training.trainer import Trainer
@@ -136,16 +157,30 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
     # budget: an uncalibrated combo must abort here, not after the ~7 min
     # TPU run whose metrics it would then discard.
     variant = tuple(name for name, on in (
+        ("accum", grad_accum > 1),
         ("augment", augment), ("conditional", conditional),
+        ("divergence", divergence), ("eof", eof),
         ("freq_sep", freq_sep), ("fused", fused),
         ("srresnet", arch == "srresnet"),
-        ("stochastic", stochastic)) if on)
-    thresholds = {} if smoke else THRESHOLDS_BY_VARIANT.get(variant)
+        ("stochastic", stochastic), ("vorticity", vorticity)) if on)
+    thresholds = ({} if (smoke or calibrate)
+                  else THRESHOLDS_BY_VARIANT.get(variant))
     if thresholds is None:
         raise SystemExit(
             f"no calibrated thresholds for variant {variant}; run the "
-            "combo on TPU first and add its receipt + bounds")
+            "combo with --calibrate on TPU first and add its receipt + "
+            "bounds")
 
+    # Physics-regularizer weights (VERDICT r4 #2): std-normalized MSE
+    # terms are O(2) for uncorrelated fields; lambda 1.0 makes each term
+    # comparable to the content term (content_lambda=5 x MAE~0.8) without
+    # drowning the adversarial signal.
+    phys_kw = dict(
+        divergence_lambda=1.0 if divergence else 0.0,
+        vorticity_lambda=1.0 if vorticity else 0.0,
+        eof_lambda=1.0 if eof else 0.0,
+        grad_accum=grad_accum,
+    )
     if smoke:
         # Harness validation on CPU: tiny model/fields (MS-SSIM needs
         # >=128 px, so the spectral/structural metrics drop out), 2 epochs.
@@ -156,7 +191,7 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
             hp=HyperParams(batch_size=8, epochs=2,
                            schedule="fused" if fused else "reference",
                            metrics_reuse_fake=fused,
-                           freq_sep=freq_sep,
+                           freq_sep=freq_sep, **phys_kw,
                            # smoke set is 28 train rows -> 3 steps/epoch;
                            # a fused round needs critic_iterations of them
                            critic_iterations=2 if fused else 5,
@@ -178,7 +213,7 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
                 # making it the benchmark default.
                 schedule="fused" if fused else "reference",
                 metrics_reuse_fake=fused,
-                freq_sep=freq_sep,
+                freq_sep=freq_sep, **phys_kw,
                 metrics_to_calculate=("MAE", "MSE", "MSSSIM", "RALSD", "Wass"),
             ))
         n_samples = N_SAMPLES
@@ -197,6 +232,24 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
     trainer.train()
     test_m = {f"{k}_test": round(float(v), 4)
               for k, v in trainer._run_test_pass().items()}
+
+    # Physical-consistency report (VERDICT r4 #2): std-normalized
+    # divergence/vorticity MSE between generated and real TEST fields —
+    # the quantity the physics regularizers are supposed to buy
+    # (reference losses.py:119-193). Reported for EVERY deterministic
+    # run so the ablation is visible; thresholded only where calibrated.
+    if config.noise_channels == 0:
+        import jax.numpy as jnp
+
+        from downgan_tpu.ops.losses import divergence_loss, vorticity_loss
+
+        fake = trainer.gen.apply(trainer.state.g_params,
+                                 jnp.asarray(test_ds.coarse))
+        fine_t = jnp.asarray(test_ds.fine)
+        test_m["Divergence_err_test"] = round(
+            float(divergence_loss(fine_t, fake)), 4)
+        test_m["Vorticity_err_test"] = round(
+            float(vorticity_loss(fine_t, fake)), 4)
 
     ens_report = None
     if stochastic:
@@ -232,6 +285,11 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
         "fused": fused,
         "freq_sep": freq_sep,
         "arch": arch,
+        "divergence": divergence,
+        "vorticity": vorticity,
+        "eof": eof,
+        "grad_accum": grad_accum,
+        "calibrate": calibrate,
         "passed": passed,
         "epochs": config.hp.epochs,
         "covariate_noise": COVARIATE_NOISE,
@@ -264,6 +322,13 @@ def main() -> None:
     # single-tenant chip — a gate that compiles while another process
     # holds the chip can produce a different binary (the srresnet run-2
     # outlier), so the lock wraps compile + the whole budget run.
+    grad_accum = 1
+    if "--grad-accum" in sys.argv:
+        i = sys.argv.index("--grad-accum")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--grad-accum requires an integer value")
+        grad_accum = int(sys.argv[i + 1])
+    physics = "--physics" in sys.argv  # combined divergence + vorticity
     with chip_lock(enabled=not on_cpu):
         from downgan_tpu.runtime import setup_cache
 
@@ -273,7 +338,12 @@ def main() -> None:
                   stochastic="--stochastic" in sys.argv,
                   fused="--fused" in sys.argv,
                   freq_sep="--freq-sep" in sys.argv,
-                  arch=arch)
+                  arch=arch,
+                  divergence=physics or "--divergence" in sys.argv,
+                  vorticity=physics or "--vorticity" in sys.argv,
+                  eof="--eof" in sys.argv,
+                  grad_accum=grad_accum,
+                  calibrate="--calibrate" in sys.argv)
     print(json.dumps(out))
     sys.exit(0 if out["passed"] else 1)
 

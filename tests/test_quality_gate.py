@@ -90,6 +90,56 @@ def test_quality_gate_smoke_freq_sep_and_srresnet():
         assert rec["metrics"]["MAE_test"] > 0
 
 
+def test_quality_gate_smoke_physics_and_accum():
+    """--physics (divergence + vorticity regularizers ON) composed with
+    --grad-accum 2 drives the physics terms through the microbatch
+    accumulation path, and every deterministic run now reports the
+    physical-consistency errors (VERDICT r4 #2)."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, GATE, "--smoke", "--physics", "--grad-accum", "2"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["divergence"] is True and rec["vorticity"] is True
+    assert rec["grad_accum"] == 2
+    assert rec["passed"] is True
+    assert rec["metrics"]["Divergence_err_test"] > 0
+    assert rec["metrics"]["Vorticity_err_test"] > 0
+
+
+def test_quality_gate_smoke_eof():
+    """--eof fits the EOF basis from the training fine fields and trains
+    with the EOF-projection regularizer on the generator objective."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, GATE, "--smoke", "--eof"], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["eof"] is True
+    assert rec["passed"] is True
+    assert rec["metrics"]["MAE_test"] > 0
+
+
+def test_quality_gate_uncalibrated_combo_aborts_before_training():
+    """An uncalibrated variant combo must abort up front naming
+    --calibrate, not after spending the training budget."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["QUALITY_GATE_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, GATE, "--eof", "--conditional", "--stochastic"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "no calibrated thresholds" in (proc.stderr + proc.stdout)
+    assert "--calibrate" in (proc.stderr + proc.stdout)
+
+
 def test_stream_bench_smoke():
     """The data-residency throughput harness (benchmarks/stream_bench.py)
     runs all three tiers end-to-end in smoke mode."""
