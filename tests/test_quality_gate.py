@@ -140,6 +140,28 @@ def test_quality_gate_uncalibrated_combo_aborts_before_training():
     assert "--calibrate" in (proc.stderr + proc.stdout)
 
 
+def test_stream_soak_smoke():
+    """The production-scale residency soak (benchmarks/stream_soak.py):
+    writer record + per-tier subprocess receipts with their own host-RSS
+    ceilings."""
+    bench = os.path.join(os.path.dirname(GATE), "stream_soak.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, bench, "--smoke"], env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    recs = [json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith("{")]
+    assert recs[0]["writer"] == "preprocessed_netcdf"
+    tiers = {r["tier"]: r for r in recs[1:]}
+    assert set(tiers) == {"device", "stream"}
+    for r in tiers.values():
+        assert r["steady_epoch_s"] > 0
+        assert r["patches_per_sec"] > 0
+        assert r["max_rss_mb"] > 0
+
+
 def test_stream_bench_smoke():
     """The data-residency throughput harness (benchmarks/stream_bench.py)
     runs all three tiers end-to-end in smoke mode."""
