@@ -160,16 +160,20 @@ THRESHOLDS_BY_VARIANT = {
         "Vorticity_err_test": ("<=", 2.1)},
     # Second generator family (generator_arch="srresnet"): a plain
     # residual trunk without the RRDB dense connections. Receipted on
-    # TPU three times: runs 1 and 3 are bit-identical (MSSSIM 0.2652,
+    # TPU four times: runs 1, 3, and 4 are bit-identical (MSSSIM 0.2652,
     # RALSD 6.7958 dB, MAE 0.8050 — reproducibility holds for this
     # family too); run 2, which RECOMPILED while another gate process
     # held the single-tenant chip (concurrent compile under contention),
     # landed 0.6 dB away (7.39 dB / MAE 0.7995) — a different compiled
-    # binary, not model nondeterminism. Structure/pointwise on par with
-    # the RRDB base at this budget, spectrum ~1.5 dB behind (the dense
-    # blocks earn their FLOPs in small-scale power). The spectral bound
-    # keeps margin for compile-variation (worst observed 7.39).
-    ("srresnet",): {"MSSSIM_test": (">=", 0.21), "RALSD_test": ("<=", 8.4),
+    # binary, not model nondeterminism. That contention mode is now
+    # excluded by construction (chip_lock serializes every gate/bench
+    # process, run 4 re-receipted the reproducible value under it), so
+    # the spectral bound is re-tightened to the reproducible value +
+    # ~10% margin instead of covering the contention outlier.
+    # Structure/pointwise on par with the RRDB base at this budget,
+    # spectrum ~1.5 dB behind (the dense blocks earn their FLOPs in
+    # small-scale power).
+    ("srresnet",): {"MSSSIM_test": (">=", 0.21), "RALSD_test": ("<=", 7.5),
                     "MAE_test": ("<=", 0.88)},
 }
 # The round-3 stochastic receipt also pinned an informative ensemble:
