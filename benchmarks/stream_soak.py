@@ -12,10 +12,17 @@ scale:
     through the real preprocessed-layout writer;
   * each tier (device-resident HBM vs disk-streamed through the reader
     thread) then trains the florida model at the b128 production batch
-    in a FRESH subprocess, so the reported ``max_rss_mb`` is that tier's
-    own host-RAM ceiling — the point of streaming is that it stays at
-    reader-buffer scale while the device tier's process must hold (and
-    stage) the whole array;
+    in a FRESH subprocess, reporting two memory ceilings:
+    ``py_peak_mb`` (tracemalloc peak — the DATA PATH's host allocations:
+    the device tier must materialize the whole array in host RAM to
+    stage it, the stream tier only ever holds reader buffers) and
+    ``max_rss_mb`` (process peak RSS — on the dev tunnel this is
+    dominated by the axon client's host staging arena, which retains
+    ~batch_bytes per device_put up to a ~16.4 GiB recycle cap, measured
+    directly: 120 x 16.8 MB puts grow RSS linearly by exactly the
+    transferred bytes — so identical RSS across tiers here means both
+    saturated the ARENA, not that the data paths cost the same; on a
+    production host the arena behavior is the PCIe driver's);
   * steady-state epochs (after the compile epoch) give sustained
     patches/s for the receipt: reader-thread overlap at production batch
     means the stream tier tracks the device tier up to the host->device
@@ -70,6 +77,9 @@ def _config(args):
 
 
 def child(args) -> None:
+    import tracemalloc
+
+    tracemalloc.start()
     if args.smoke:
         import jax
 
@@ -116,8 +126,11 @@ def child(args) -> None:
         "epoch_s": times,
         "steady_epoch_s": round(steady_s, 3),
         "patches_per_sec": round(steps * args.batch / steady_s, 1),
-        # This PROCESS's peak host RSS: the tier's true host-RAM ceiling
-        # (ru_maxrss is KB on Linux).
+        # Data-path host allocations (tracemalloc peak): the number the
+        # residency claim rides on — whole-array staging vs reader
+        # buffers. max_rss_mb is the raw process peak; see the module
+        # docstring for why the tunnel's staging arena dominates it here.
+        "py_peak_mb": round(tracemalloc.get_traced_memory()[1] / 2**20, 1),
         "max_rss_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
         "samples": n_train,

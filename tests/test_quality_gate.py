@@ -160,6 +160,7 @@ def test_stream_soak_smoke():
         assert r["steady_epoch_s"] > 0
         assert r["patches_per_sec"] > 0
         assert r["max_rss_mb"] > 0
+        assert r["py_peak_mb"] > 0
 
 
 def test_stream_bench_smoke():
