@@ -151,8 +151,21 @@ THRESHOLDS_BY_VARIANT = {
                      "Vorticity_err_test": ("<=", 2.1)},
     ("eof",): {"MSSSIM_test": (">=", 0.21), "RALSD_test": ("<=", 6.6),
                "MAE_test": ("<=", 0.87)},
+    # The combined physics run (--physics). Calibrated: MSSSIM 0.2733 /
+    # RALSD 5.3927 / MAE 0.8198 — structure near vorticity-alone's best,
+    # spectrum ~base.
+    ("divergence", "vorticity"): {
+        "MSSSIM_test": (">=", 0.22), "RALSD_test": ("<=", 6.5),
+        "MAE_test": ("<=", 0.87),
+        "Divergence_err_test": ("<=", 2.1),
+        "Vorticity_err_test": ("<=", 2.1)},
     # The combined physics run composed with microbatch accumulation
     # (per-microbatch std-normalization semantics at training scale).
+    # Note the measured composition cost vs accum=1 (0.2733/5.39 ->
+    # 0.2521/5.95): the physics terms normalize by a per-MICROBATCH std
+    # (documented semantics), whose noisier estimate at microbatch 16
+    # weakens both regularizers at this budget — prefer accum=1 when the
+    # batch fits, and recalibrate if grad_accum changes.
     ("accum", "divergence", "vorticity"): {
         "MSSSIM_test": (">=", 0.21), "RALSD_test": ("<=", 7.1),
         "MAE_test": ("<=", 0.87),
