@@ -125,9 +125,12 @@ LEARN_SSIM_GAIN = 0.015
 # calibrated from the committed 250-step florida receipt (RALSD drop 4.5
 # dB by step 250 vs the toy's 21 by step 1000; Wass trajectory corr 0.94
 # with the two critics' GP alphas independent and the estimates ~10x the
-# toy's magnitude). Bands keep >=1.5x margin on those observations.
+# toy's magnitude). Bands keep >=1.5x margin on those observations, and
+# the learning/correlation gate engages from 250 steps at this geometry
+# (the budget the bands were calibrated at) instead of the toy's 600.
 FLORIDA_LEARN_RALSD_DROP = 3.0
 FLORIDA_WASS_CORR = 0.90
+FLORIDA_LEARNING_MIN_STEPS = 250
 
 
 def _field_metric_fns(fine_hw: int):
@@ -166,10 +169,15 @@ def _field_metric_fns(fine_hw: int):
 def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
         batch: int = 8, n_train: int = 240, n_eval: int = 32,
         seed: int = 0, filters: int = 8, blocks: int = 1) -> dict:
-    # Geometry-calibrated trajectory bands (constants above).
-    florida = fine_hw >= 112 and filters >= 16
+    # Geometry-calibrated trajectory bands (constants above). The
+    # relaxed bands are attributed to the FULL-depth trunk's dynamics,
+    # so all three geometry axes must match — a shallow model at 128 px
+    # keeps the toy calibration.
+    florida = fine_hw >= 112 and filters >= 16 and blocks >= 16
     ralsd_drop_min = FLORIDA_LEARN_RALSD_DROP if florida else LEARN_RALSD_DROP
     wass_corr_min = FLORIDA_WASS_CORR if florida else WASS_CORR
+    learning_min_steps = (FLORIDA_LEARNING_MIN_STEPS if florida
+                          else LEARNING_MIN_STEPS)
     import numpy as np
     import torch
 
@@ -352,7 +360,7 @@ def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
     final = records[-1]
     final_rel = (abs(t_w[-1] - j_w[-1])
                  / max(abs(t_w[-1]), abs(j_w[-1]), WASS_ABS))
-    if steps >= LEARNING_MIN_STEPS:
+    if steps >= learning_min_steps:
         if wass_corr < wass_corr_min:
             passed = False
             checks.append({"metric": "Wass", "why": "trajectory decorrelated",
@@ -367,7 +375,7 @@ def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
     # coordinates must have moved the calibrated amounts. Needs a real
     # budget — short smoke runs only check the tracking bands.
     struct = "MSSSIM" if "MSSSIM" in records[0]["torch"] else "SSIM"
-    if steps >= LEARNING_MIN_STEPS:
+    if steps >= learning_min_steps:
         init = records[0]
         for side in ("torch", "jax"):
             evidence = {
@@ -404,6 +412,11 @@ def run(steps: int = 300, eval_every: int = 30, fine_hw: int = 64,
                                     "corr_min": wass_corr_min,
                                     "final_rel_max": WASS_FINAL_REL},
                   "ralsd_drop_min": ralsd_drop_min},
+        # Whether the trajectory-level correlation + learning checks ran
+        # (they gate on the geometry's calibrated minimum budget) — so a
+        # receipt cannot imply enforcement of bands that never applied.
+        "learning_checks_ran": steps >= learning_min_steps,
+        "learning_min_steps": learning_min_steps,
         "wass_traj_corr": round(wass_corr, 5),
         "wass_final_rel_diff": round(float(final_rel), 5),
         "violations": checks,

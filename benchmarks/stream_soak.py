@@ -98,19 +98,16 @@ def child(args) -> None:
     if args.child == "device":
         # The whole-set-in-accelerator-memory design (the reference's):
         # load the full arrays into host RAM, stage onto the device.
-        import numpy as np
-
         from downgan_tpu.data.staging import load_preprocessed
 
         coarse_tr, fine_tr, coarse_te, fine_te = load_preprocessed(config)
         train_ds = DeviceDataset.from_numpy(coarse_tr, fine_tr)
         test_ds = DeviceDataset.from_numpy(coarse_te, fine_te)
         del coarse_tr, fine_tr, coarse_te, fine_te
-        n_train = int(np.asarray(train_ds.coarse.shape[0]))
     else:
         train_ds = StreamDataset.from_preprocessed(config, "train")
         test_ds = StreamDataset.from_preprocessed(config, "test")
-        n_train = len(train_ds)
+    n_train = len(train_ds)
 
     times = []
     t = Trainer(config, train_ds, test_ds, verbose=False)
