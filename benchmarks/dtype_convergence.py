@@ -63,9 +63,9 @@ def main() -> None:
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     every = max(1, epochs // 6)
     from downgan_tpu.runtime import setup_cache
-    from downgan_tpu.utils.tpulock import chip_lock
+    from downgan_tpu.utils.tpulock import hold_chip_lock
 
-    chip_lock(enabled=True).__enter__()  # released at process exit
+    hold_chip_lock(enabled=True)  # held until process exit
     setup_cache()
     results = {d: run(d, epochs, every) for d in ("float32", "bfloat16")}
     f32, bf16 = results["float32"]["final"], results["bfloat16"]["final"]

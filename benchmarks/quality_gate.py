@@ -287,20 +287,21 @@ def run(smoke: bool, augment: bool = False, conditional: bool = False,
     # Physical-consistency report (VERDICT r4 #2): std-normalized
     # divergence/vorticity MSE between generated and real TEST fields —
     # the quantity the physics regularizers are supposed to buy
-    # (reference losses.py:119-193). Reported for EVERY deterministic
-    # run so the ablation is visible; thresholded only where calibrated.
-    if config.noise_channels == 0:
-        import jax.numpy as jnp
+    # (reference losses.py:119-193). Reported for EVERY run (the
+    # trainer's jitted eval forward already injects the FIXED eval
+    # realization for stochastic generators, so the column is
+    # deterministic there too); thresholded only where calibrated.
+    import jax.numpy as jnp
 
-        from downgan_tpu.ops.losses import divergence_loss, vorticity_loss
+    from downgan_tpu.ops.losses import divergence_loss, vorticity_loss
 
-        fake = trainer.gen.apply(trainer.state.g_params,
-                                 jnp.asarray(test_ds.coarse))
-        fine_t = jnp.asarray(test_ds.fine)
-        test_m["Divergence_err_test"] = round(
-            float(divergence_loss(fine_t, fake)), 4)
-        test_m["Vorticity_err_test"] = round(
-            float(vorticity_loss(fine_t, fake)), 4)
+    fake = trainer._gen_fwd(trainer.state.g_params,
+                            jnp.asarray(test_ds.coarse))
+    fine_t = jnp.asarray(test_ds.fine)
+    test_m["Divergence_err_test"] = round(
+        float(divergence_loss(fine_t, fake)), 4)
+    test_m["Vorticity_err_test"] = round(
+        float(vorticity_loss(fine_t, fake)), 4)
 
     ens_report = None
     if stochastic:

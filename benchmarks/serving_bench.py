@@ -37,9 +37,9 @@ def main() -> None:
     from downgan_tpu.runtime import setup_cache
     from downgan_tpu.serving import BatchingSRModel, generate_remote, serve_model
     from downgan_tpu.training.state import create_state
-    from downgan_tpu.utils.tpulock import chip_lock
+    from downgan_tpu.utils.tpulock import hold_chip_lock
 
-    chip_lock(enabled=True).__enter__()  # released at process exit
+    hold_chip_lock(enabled=True)  # held until process exit
     setup_cache()
     config = Config(hp=HyperParams(batch_size=32),
                     noise_channels=4 if stochastic else 0)

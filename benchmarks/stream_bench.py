@@ -40,10 +40,9 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    from downgan_tpu.utils.tpulock import chip_lock
+    from downgan_tpu.utils.tpulock import hold_chip_lock
 
-    lock_ctx = chip_lock(enabled=not args.smoke)
-    lock_ctx.__enter__()  # held for the whole run (process exit releases)
+    hold_chip_lock(enabled=not args.smoke)  # held until process exit
     from downgan_tpu.runtime import setup_cache
 
     setup_cache()

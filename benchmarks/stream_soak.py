@@ -40,6 +40,7 @@ in benchmarks/stream_soak_results.jsonl.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import resource
@@ -84,9 +85,9 @@ def child(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    from downgan_tpu.utils.tpulock import chip_lock
+    from downgan_tpu.utils.tpulock import hold_chip_lock
 
-    chip_lock(enabled=not args.smoke).__enter__()  # released at exit
+    hold_chip_lock(enabled=not args.smoke)  # held until process exit
     from downgan_tpu.runtime import setup_cache
 
     setup_cache()
@@ -162,8 +163,11 @@ def main() -> None:
         args.epochs = min(args.epochs, 2)
         args.batch = min(args.batch, 16)
 
-    ctx = (tempfile.TemporaryDirectory() if args.dir is None
-           else _keepdir(args.dir))
+    if args.dir is None:
+        ctx = tempfile.TemporaryDirectory()
+    else:
+        os.makedirs(args.dir, exist_ok=True)
+        ctx = contextlib.nullcontext(args.dir)
     with ctx as tmp:
         args.dir = tmp
         from downgan_tpu.data.dataset import synthetic_dataset
@@ -204,17 +208,6 @@ def main() -> None:
                 if line.startswith("{"):
                     print(line, flush=True)
 
-
-class _keepdir:
-    def __init__(self, path: str):
-        self.path = path
-
-    def __enter__(self) -> str:
-        os.makedirs(self.path, exist_ok=True)
-        return self.path
-
-    def __exit__(self, *exc) -> None:
-        pass
 
 
 if __name__ == "__main__":

@@ -45,7 +45,9 @@ def chip_lock(enabled: bool = True, path: Optional[str] = None,
         yield False
         return
     lock_path = path or os.environ.get("DOWNGAN_CHIP_LOCK", DEFAULT_LOCK_PATH)
-    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    lock_dir = os.path.dirname(lock_path)
+    if lock_dir:  # a bare filename locks in the cwd
+        os.makedirs(lock_dir, exist_ok=True)
     f = open(lock_path, "a+")
     try:
         try:
@@ -65,3 +67,24 @@ def chip_lock(enabled: bool = True, path: Optional[str] = None,
     finally:
         fcntl.flock(f, fcntl.LOCK_UN)
         f.close()
+
+
+_HELD = []  # managers held by hold_chip_lock for the process lifetime
+
+
+def hold_chip_lock(enabled: bool = True, path: Optional[str] = None,
+                   verbose: bool = True) -> bool:
+    """Acquire the chip lock for the REMAINDER OF THE PROCESS.
+
+    For harness mains that want the lock from backend init to exit
+    without indenting their whole body. A bare
+    ``chip_lock(...).__enter__()`` on the unreferenced temporary is a
+    silent no-op — the context manager is garbage-collected immediately
+    and its finalizer releases the flock — so this helper exists to hold
+    the reference. Returns whether the lock was actually taken; released
+    by the OS at process exit.
+    """
+    cm = chip_lock(enabled=enabled, path=path, verbose=verbose)
+    held = cm.__enter__()
+    _HELD.append(cm)
+    return held

@@ -123,6 +123,7 @@ def test_bench_smoke_dual_emits_parity_and_tuned():
         [sys.executable, BENCH], env=_bench_env(8, BENCH_SCHEDULE="fused"),
         capture_output=True, text=True, timeout=600,
     )
+    assert single.returncode == 0, single.stderr[-4000:]
     assert "reference_parity" not in _last_json_line(single.stdout)
 
 

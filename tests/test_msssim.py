@@ -225,18 +225,28 @@ def test_msssim_metric_matches_oracle_end_to_end():
 # author's reading of the conventions).
 # ---------------------------------------------------------------------------
 
-import os
-import sys
+def _torch_oracle():
+    """Import the oracle module lazily and WITHOUT leaving benchmarks/
+    on sys.path for the rest of the pytest session (a module there could
+    otherwise shadow same-named modules for later test imports)."""
+    import importlib.util
+    import os
 
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
-import torch_msssim_oracle as torch_oracle  # noqa: E402
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "torch_msssim_oracle.py")
+    spec = importlib.util.spec_from_file_location("torch_msssim_oracle", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_ms_ssim_matches_torch_oracle_random_128():
     """The reference workload's exact metric geometry: 128x128, 2 channels
     (u10/v10), win_size=7, data_range=1."""
     import torch
+
+    torch_oracle = _torch_oracle()
 
     rng = np.random.RandomState(11)
     x = rng.rand(2, 128, 128, 2).astype(np.float32)
@@ -250,6 +260,8 @@ def test_ms_ssim_matches_torch_oracle_random_128():
 
 def test_ms_ssim_matches_torch_oracle_structured():
     import torch
+
+    torch_oracle = _torch_oracle()
 
     yy, xx = np.meshgrid(np.linspace(-2, 2, 128), np.linspace(-2, 2, 128),
                          indexing="ij")
@@ -271,6 +283,7 @@ def test_ms_ssim_matches_torch_oracle_odd_size():
     (130 -> 65 -> 33 -> 17 -> 9)."""
     import torch
 
+    torch_oracle = _torch_oracle()
     rng = np.random.RandomState(13)
     x = rng.rand(1, 130, 130, 2).astype(np.float32)
     y = np.clip(x + 0.1 * rng.randn(1, 130, 130, 2).astype(np.float32), 0, 1)
@@ -286,6 +299,7 @@ def test_msssim_metric_matches_torch_oracle_end_to_end():
     batch-global min-max normalization of both raw physical fields, then
     MS-SSIM win=7 data_range=1 — jax op vs the torch oracle's independent
     implementation of both stages."""
+    torch_oracle = _torch_oracle()
     rng = np.random.RandomState(17)
     hr = (rng.randn(2, 128, 128, 2) * 4 + 1).astype(np.float32)
     fake = (hr + 0.5 * rng.randn(*hr.shape)).astype(np.float32)
@@ -297,6 +311,7 @@ def test_msssim_metric_matches_torch_oracle_end_to_end():
 def test_torch_oracle_agrees_with_numpy_oracle():
     """The two independent oracles (scipy/numpy and torch) agree with
     each other, not just each with the jax op — closing the triangle."""
+    torch_oracle = _torch_oracle()
     rng = np.random.RandomState(19)
     x = rng.rand(1, 128, 128, 2).astype(np.float32)
     y = np.clip(x + 0.12 * rng.randn(1, 128, 128, 2).astype(np.float32), 0, 1)

@@ -26,6 +26,33 @@ def test_lock_acquires_and_releases(tmp_path):
     assert time.monotonic() - t0 < 1.0
 
 
+def test_hold_chip_lock_actually_holds(tmp_path):
+    """Regression for the silent-no-op pattern: a bare
+    chip_lock(...).__enter__() on the unreferenced temporary is released
+    immediately by GC; hold_chip_lock must keep the flock held."""
+    import fcntl
+    import gc
+
+    from downgan_tpu.utils.tpulock import hold_chip_lock
+
+    p = str(tmp_path / "chip.lock")
+    assert hold_chip_lock(path=p, verbose=False) is True
+    gc.collect()
+    with open(p, "a+") as probe:
+        try:
+            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            held = True
+        else:
+            held = False  # acquired -> the lock had been dropped
+    # clean up the held manager so later tests in this process can lock
+    from downgan_tpu.utils import tpulock as _t
+
+    while _t._HELD:
+        _t._HELD.pop().__exit__(None, None, None)
+    assert held, "hold_chip_lock released the flock (GC no-op regression)"
+
+
 def test_lock_blocks_across_processes(tmp_path):
     """A second process waits until the holder releases — the property
     that keeps two gates from compiling on the chip at once."""
